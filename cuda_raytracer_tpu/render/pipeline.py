@@ -1,0 +1,112 @@
+"""End-to-end render orchestration (reference: gpu_raytrace / cpu_raytrace,
+raytracing.cu:122-284, and main's post chain, raytracing.cu:347-395).
+
+The pass loop mirrors the reference exactly: samples are traced in batches of
+at most ``max_rays_per_pixel_per_pass`` (20) rays per pixel, each pass
+accumulating raw radiance sums into a persistent framebuffer — which also
+makes long renders checkpointable/resumable (utils/checkpoint.py). The
+framebuffer buffer is donated between passes so XLA updates it in place.
+
+Accumulation: rays are pixel-major (ray i → pixel i // rpp), so per-pass
+accumulation is one ``segment_sum`` over stable ray ids — the TPU-native form
+of the reference's atomicAdd accumulate kernel (raytracing.cu:96-107).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_raytracer_tpu.models.scene import Scene
+from cuda_raytracer_tpu.ops import bloom as bloom_ops
+from cuda_raytracer_tpu.ops import tonemap as tonemap_ops
+from cuda_raytracer_tpu.render import wavefront
+
+
+@partial(
+    jax.jit,
+    static_argnames=("rays_per_pixel", "bounces", "sort_rays", "reparam"),
+    donate_argnums=(1,),
+)
+def render_pass(
+    scene: Scene,
+    framebuffer: jnp.ndarray,  # (pixels, 3) raw accumulated sums — donated
+    pass_seed: jnp.ndarray,  # () uint32 — the reference's `remaining_rays`
+    rays_per_pixel: int,
+    bounces: int,
+    sort_rays: bool,
+    reparam: bool = False,
+) -> jnp.ndarray:
+    """Trace one pass of ``rays_per_pixel`` samples for every pixel and
+    accumulate into the framebuffer."""
+    pixels = framebuffer.shape[0]
+    ray_id = jnp.arange(pixels * rays_per_pixel, dtype=jnp.int32)
+    state = wavefront.make_initial_state(scene, ray_id, rays_per_pixel, pass_seed)
+    state = wavefront.trace_wavefront(
+        scene, state, pass_seed, bounces, sort_rays, reparam=reparam
+    )
+    contribution = jax.ops.segment_sum(
+        state.collected,
+        state.ray_id // rays_per_pixel,
+        num_segments=pixels,
+    )
+    return framebuffer + contribution
+
+
+def render_framebuffer(
+    scene: Scene,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> jnp.ndarray:
+    """Full multi-pass render → raw accumulated (pixels, 3) framebuffer.
+    Matches the reference pass loop (raytracing.cu:222-254): chunks of ≤20
+    rays/pixel, pass seed = remaining rays after the chunk is subtracted."""
+    cfg = scene.config
+    framebuffer = jnp.zeros((scene.num_pixels, 3), jnp.float32)
+    remaining = cfg.rays_per_pixel
+    while remaining:
+        chunk = min(remaining, cfg.max_rays_per_pixel_per_pass)
+        remaining -= chunk
+        framebuffer = render_pass(
+            scene,
+            framebuffer,
+            jnp.uint32(remaining),
+            rays_per_pixel=chunk,
+            bounces=cfg.bounces,
+            sort_rays=cfg.sort_rays,
+        )
+        if progress is not None:
+            framebuffer.block_until_ready()
+            progress(cfg.rays_per_pixel - remaining, cfg.rays_per_pixel)
+    return framebuffer
+
+
+def render_image(
+    scene: Scene, apply_bloom: bool = True, framebuffer: Optional[jnp.ndarray] = None
+) -> np.ndarray:
+    """Render to an (H, W, 3) uint8 image: pass loop → optional bloom on the
+    raw sums → exposure/tonemap/sRGB (reference main, raytracing.cu:347-395)."""
+    cfg = scene.config
+    if framebuffer is None:
+        framebuffer = render_framebuffer(scene)
+    image = framebuffer.reshape(cfg.height, cfg.width, 3)
+    if apply_bloom:
+        image = bloom_ops.apply_bloom(image, cfg.rays_per_pixel)
+    display = tonemap_ops.tonemap(image, cfg.exposure, cfg.rays_per_pixel)
+    return np.asarray(tonemap_ops.to_bytes(display))
+
+
+def render_timed(scene: Scene) -> tuple:
+    """Render with the reference's timing scope (trace phase only — excludes
+    BVH build and image output, raytracing.cu:172,279-281).
+
+    Returns (uint8 image, trace_seconds)."""
+    start = time.perf_counter()
+    framebuffer = render_framebuffer(scene)
+    framebuffer.block_until_ready()
+    elapsed = time.perf_counter() - start
+    return render_image(scene, framebuffer=framebuffer), elapsed

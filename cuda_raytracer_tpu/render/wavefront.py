@@ -1,0 +1,288 @@
+"""Wavefront path tracing — the TPU form of the reference megakernel.
+
+The reference fuses traversal + intersection + shading into one CUDA kernel
+relaunched per bounce with persistent RayData (raytracing.cu:83-94,232-249).
+Here the whole wavefront is SoA ray state marched by a ``lax.scan`` over
+bounces; XLA fuses the intersect/shade math per bounce, and an optional
+Morton-key sort between bounces reorders rays for traversal coherence (the
+CUB radix-sort step, raytracing.cu:238-247, expressed as
+``jax.lax.sort_key_val``).
+
+Shading matches scene.cu:320-487: emissive add on hit, rough-normal
+perturbation, metallicity-probability specular/diffuse split for opaque
+materials, Schlick + total-internal-reflection russian roulette for
+dielectrics. Sampling draws come from the counter-based PCG stream seeded per
+(ray, bounce) with the reference GPU's constants (raytracing.cu:89).
+
+RNG-parity note (deliberate divergence): the reference GPU seeds by *sorted
+ray position*, so reordering changes its noise pattern; we seed by the stable
+per-pass ray id, making sort vs no-sort renders bit-identical. The reference
+CPU path also omits the bounce index from its seed (raytracing.cu:148),
+correlating bounces; we follow the GPU scheme (bounce-dependent).
+
+Differentiation: radiance is accumulated as ``collected += emitted ⊙
+transmitted`` with ``transmitted`` a product of gathered albedos, so gradients
+flow to material colours and the sky map. With ``reparam=True`` direction
+computations stay differentiable (pathwise gradients for roughness/ior); by
+default geometry is detached each bounce, which is cheaper and unbiased for
+the colour/emission/sky parameters.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_raytracer_tpu.models.scene import Scene
+from cuda_raytracer_tpu.ops import camera as camera_ops
+from cuda_raytracer_tpu.ops import envmap, intersect, morton, rng, traverse, vecmath
+
+# Per-(ray, bounce) seeding constants, raytracing.cu:89. The scalar seed is
+# `pass_seed * 20 + bounce` exactly like the reference's
+# `remaining_rays * MAX_RAYS_PER_PIXEL_PER_PASS + i` (raytracing.cu:236).
+_BOUNCE_RAY_MULT = np.uint32(4137874753)
+_BOUNCE_SEED_MULT = np.uint32(279220567)
+_PASS_STRIDE = np.uint32(20)
+
+
+class RayState(NamedTuple):
+    """SoA wavefront state — the reference's RayData (scene.cuh:61-68) plus
+    the stable ray id that carries pixel identity through reordering."""
+
+    origin: jnp.ndarray  # (R, 3)
+    direction: jnp.ndarray  # (R, 3)
+    transmitted: jnp.ndarray  # (R, 3)
+    collected: jnp.ndarray  # (R, 3)
+    ray_id: jnp.ndarray  # (R,) int32
+
+
+def bounce_seeds(ray_id: jnp.ndarray, pass_seed, bounce) -> jnp.ndarray:
+    return (
+        ray_id.astype(jnp.uint32) * _BOUNCE_RAY_MULT
+        + _BOUNCE_SEED_MULT
+        * (jnp.uint32(pass_seed) * _PASS_STRIDE + jnp.uint32(bounce))
+    )
+
+
+def closest_hit(
+    scene: Scene,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    alive: jnp.ndarray = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest hit over spheres (brute force) then triangles (BVH, or a brute
+    (rays x tris) tile when the scene is small enough that a tree walk is
+    slower than one dense VPU sweep). Dead rays enter traversal with
+    ``closest = 0`` so their tree walk terminates immediately — the wavefront
+    analogue of the reference's early-out (scene.cu:322-328)."""
+    t, index = intersect.intersect_spheres(
+        origin, direction, scene.sphere_center, scene.sphere_radius
+    )
+    if alive is not None:
+        t = jnp.where(alive, t, 0.0)
+    if scene.triangle_count == 0:
+        return t, index
+    use_brute = scene.bvh_node_count <= 1 or scene.triangle_count <= 512
+    if use_brute:
+        t_tri, i_tri = intersect.intersect_triangles_brute(
+            origin, direction, scene.tri_p1, scene.tri_e1, scene.tri_e2
+        )
+        better = t_tri < t
+        t = jnp.where(better, t_tri, t)
+        index = jnp.where(better, scene.sphere_count + i_tri, index)
+        return t, index
+    return traverse.bvh_closest_hit(scene, origin, direction, t, index)
+
+
+def _gather_normal(
+    scene: Scene, hit_index: jnp.ndarray, hit_point: jnp.ndarray
+) -> jnp.ndarray:
+    """Surface normal for the shared sphere/triangle hit-index space
+    (scene.cu:401-411)."""
+    is_sphere = hit_index < scene.sphere_count
+    sphere_i = jnp.clip(hit_index, 0, scene.sphere_center.shape[0] - 1)
+    tri_i = jnp.clip(
+        hit_index - scene.sphere_count, 0, scene.tri_normal.shape[0] - 1
+    )
+    center = scene.sphere_center[sphere_i]
+    radius = scene.sphere_radius[sphere_i]
+    sphere_n = (hit_point - center) / jnp.where(radius == 0, 1.0, radius)[:, None]
+    tri_n = scene.tri_normal[tri_i]
+    return jnp.where(is_sphere[:, None], sphere_n, tri_n)
+
+
+def _safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt clamped at 0 whose gradient stays finite for non-selected branch
+    lanes (double-where pattern)."""
+    safe = jnp.where(x > 0, x, 1.0)
+    return jnp.where(x > 0, jnp.sqrt(safe), 0.0)
+
+
+def process_rays(
+    scene: Scene, state: RayState, pass_seed, bounce, reparam: bool = False
+) -> RayState:
+    """One bounce for the whole wavefront (reference Scene::process_ray,
+    scene.cu:320-487)."""
+    alive = jnp.any(state.transmitted != 0.0, axis=-1)
+
+    t, hit_index = closest_hit(scene, state.origin, state.direction, alive)
+    miss = hit_index < 0
+
+    draws = rng.uniforms(bounce_seeds(state.ray_id, pass_seed, bounce), 5)
+    sphere_a = rng.on_sphere_from_bits(draws[0], draws[1])  # rough normal
+    branch_u = rng.to_01(draws[2])  # metallicity / roulette draw
+    sphere_b = rng.on_sphere_from_bits(draws[3], draws[4])  # diffuse dir
+
+    # ---- Miss: environment radiance, ray dies (scene.cu:376-395) ----------
+    sky = envmap.sample_environment(scene.environment_map, state.direction)
+    collected_miss = state.collected + sky * state.transmitted
+
+    # ---- Hit: emissive add + scatter --------------------------------------
+    hit_point = state.origin + t[:, None] * state.direction
+    hit_safe = jnp.clip(hit_index, 0, scene.material_index.shape[0] - 1)
+    mat_i = scene.material_index[hit_safe]
+    mats = scene.materials
+    diffuse = mats.diffuse_albedo[mat_i]
+    specular = mats.specular_albedo[mat_i]
+    emitted = mats.emitted[mat_i]
+    metallicity = mats.metallicity[mat_i]
+    roughness = mats.roughness[mat_i]
+    ior0 = mats.index_of_refraction[mat_i]
+
+    normal = _gather_normal(scene, hit_safe, hit_point)
+    front_face = vecmath.dot(normal, state.direction) < 0
+    normal = jnp.where(front_face[:, None], normal, -normal)
+
+    if not reparam:
+        # Detached-sampling mode: geometry does not carry gradients.
+        normal = jax.lax.stop_gradient(normal)
+        roughness_s = jax.lax.stop_gradient(roughness)
+        ior_s = jax.lax.stop_gradient(ior0)
+    else:
+        roughness_s = roughness
+        ior_s = ior0
+
+    rough_normal = vecmath.normalise_safe(normal + roughness_s[:, None] * sphere_a)
+    cos_theta = vecmath.dot(rough_normal, state.direction)
+
+    collected_hit = state.collected + emitted * state.transmitted
+
+    # Opaque branch (ior == 0): metallicity coin flip (scene.cu:430-442).
+    specular_dir = state.direction - 2.0 * cos_theta[:, None] * rough_normal
+    diffuse_dir = vecmath.normalise_safe(normal + sphere_b)
+    take_specular = branch_u <= jax.lax.stop_gradient(metallicity)
+
+    # Dielectric branch (scene.cu:443-476): swap ior for front faces, Schlick
+    # reflectance, TIR-or-roulette reflect, else Snell refraction.
+    ior = jnp.where(front_face, 1.0 / jnp.where(ior_s == 0, 1.0, ior_s), ior_s)
+    inv_ior = jnp.where(front_face, ior_s, 1.0 / jnp.where(ior_s == 0, 1.0, ior_s))
+    sin_theta_sq = 1.0 - cos_theta * cos_theta
+    r0 = (1.0 - ior) / (1.0 + ior)
+    r0 = r0 * r0
+    cosine = 1.0 + cos_theta
+    reflectance = r0 + (1.0 - r0) * cosine**5
+    take_reflect = (sin_theta_sq > inv_ior * inv_ior) | (
+        branch_u < jax.lax.stop_gradient(reflectance)
+    )
+    r_out_perp = ior[:, None] * (state.direction - cos_theta[:, None] * rough_normal)
+    r_out_par = (
+        -_safe_sqrt(1.0 - vecmath.magnitude_squared(r_out_perp))[:, None]
+        * rough_normal
+    )
+    refract_dir = vecmath.normalise_safe(r_out_par + r_out_perp)
+
+    is_dielectric = ior0 > 0
+    spec_like = jnp.where(is_dielectric, take_reflect, take_specular)
+    tint = jnp.where(spec_like[:, None], specular, diffuse)
+    new_dir = jnp.where(
+        spec_like[:, None],
+        specular_dir,
+        jnp.where(is_dielectric[:, None], refract_dir, diffuse_dir),
+    )
+    transmitted_hit = state.transmitted * tint
+
+    # ---- Merge miss/hit, mask dead rays -----------------------------------
+    update = alive
+    hit_update = update & ~miss
+    new_origin = jnp.where(hit_update[:, None], hit_point, state.origin)
+    new_direction = jnp.where(hit_update[:, None], new_dir, state.direction)
+    new_transmitted = jnp.where(
+        update[:, None],
+        jnp.where(miss[:, None], jnp.zeros_like(state.transmitted), transmitted_hit),
+        state.transmitted,
+    )
+    new_collected = jnp.where(
+        update[:, None],
+        jnp.where(miss[:, None], collected_miss, collected_hit),
+        state.collected,
+    )
+    if not reparam:
+        new_origin = jax.lax.stop_gradient(new_origin)
+        new_direction = jax.lax.stop_gradient(new_direction)
+    return RayState(
+        new_origin, new_direction, new_transmitted, new_collected, state.ray_id
+    )
+
+
+def reorder_rays(scene: Scene, state: RayState) -> RayState:
+    """Morton-key sort of the wavefront (the CUB radix-sort step,
+    raytracing.cu:238-247). Physically permutes the SoA state — on TPU a
+    sort+gather is the native form of the reference's index indirection."""
+    alive = jnp.any(state.transmitted != 0.0, axis=-1)
+    keys = morton.ray_sort_keys(
+        state.origin, state.direction, alive, scene.min_coord, scene.inv_extent
+    )
+    perm = jnp.argsort(keys)
+    return RayState(
+        state.origin[perm],
+        state.direction[perm],
+        state.transmitted[perm],
+        state.collected[perm],
+        state.ray_id[perm],
+    )
+
+
+def trace_wavefront(
+    scene: Scene,
+    state: RayState,
+    pass_seed,
+    bounces: int,
+    sort_rays: bool,
+    reparam: bool = False,
+    checkpoint_bounces: bool = True,
+) -> RayState:
+    """March the wavefront through ``bounces`` scatter events. The loop is a
+    Python loop over a static bounce count (the per-bounce graphs differ only
+    in the seed scalar; XLA shares code across iterations), with
+    ``jax.checkpoint`` on each bounce so the backward pass rematerialises
+    intermediates instead of storing every bounce's wavefront."""
+
+    def one_bounce(state, bounce):
+        new_state = process_rays(scene, state, pass_seed, bounce, reparam=reparam)
+        if sort_rays and bounce + 1 != bounces:
+            new_state = reorder_rays(scene, new_state)
+        return new_state
+
+    step = jax.checkpoint(one_bounce, static_argnums=(1,)) if checkpoint_bounces else one_bounce
+    for bounce in range(bounces):
+        state = step(state, bounce)
+    return state
+
+
+def make_initial_state(
+    scene: Scene, ray_id: jnp.ndarray, rays_per_pixel: int, pass_seed
+) -> RayState:
+    origin, direction = camera_ops.generate_rays(
+        scene.camera, scene.config.width, rays_per_pixel, ray_id, pass_seed
+    )
+    rays = ray_id.shape[0]
+    return RayState(
+        origin=origin,
+        direction=direction,
+        transmitted=jnp.ones((rays, 3), jnp.float32),
+        collected=jnp.zeros((rays, 3), jnp.float32),
+        ray_id=ray_id.astype(jnp.int32),
+    )
