@@ -65,15 +65,42 @@ def equal_area_sphere_to_square(direction: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([(u + 1.0) * 0.5, (v + 1.0) * 0.5], axis=-1)
 
 
-def sample_environment(env_map: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
+def sample_environment(
+    env_map: jnp.ndarray, direction: jnp.ndarray, bilinear: bool = False
+) -> jnp.ndarray:
     """Radiance from the environment for (..., 3) unit directions.
-    Nearest-neighbour fetch with the reference's rounding
-    ``(int)(clamp01(c) * (dim - 1) + 0.5)`` (scene.cu:389-391)."""
+
+    ``bilinear=False`` (default): nearest-neighbour fetch with the reference's
+    rounding ``(int)(clamp01(c) * (dim - 1) + 0.5)`` (scene.cu:389-391) —
+    render parity mode. Piecewise-constant in direction, so directions carry
+    no gradient.
+
+    ``bilinear=True``: 4-tap bilinear filtering — used by reparameterised
+    differentiation (render/diff.py), where pathwise roughness/ior gradients
+    need the sky to vary smoothly with the scatter direction.
+    """
     height, width = env_map.shape[0], env_map.shape[1]
     uv = equal_area_sphere_to_square(rotate_to_map_space(direction))
-    texel_x = (vecmath.clamp01(uv[..., 0]) * (width - 1) + 0.5).astype(jnp.int32)
-    texel_y = (vecmath.clamp01(uv[..., 1]) * (height - 1) + 0.5).astype(jnp.int32)
-    texel_x = jnp.clip(texel_x, 0, width - 1)
-    texel_y = jnp.clip(texel_y, 0, height - 1)
     flat = env_map.reshape(-1, 3)
-    return flat[texel_y * width + texel_x]
+    if not bilinear:
+        texel_x = (vecmath.clamp01(uv[..., 0]) * (width - 1) + 0.5).astype(jnp.int32)
+        texel_y = (vecmath.clamp01(uv[..., 1]) * (height - 1) + 0.5).astype(jnp.int32)
+        texel_x = jnp.clip(texel_x, 0, width - 1)
+        texel_y = jnp.clip(texel_y, 0, height - 1)
+        return flat[texel_y * width + texel_x]
+
+    fx = vecmath.clamp01(uv[..., 0]) * (width - 1)
+    fy = vecmath.clamp01(uv[..., 1]) * (height - 1)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, width - 1)
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, height - 1)
+    x1 = jnp.minimum(x0 + 1, width - 1)
+    y1 = jnp.minimum(y0 + 1, height - 1)
+    wx = (fx - x0.astype(jnp.float32))[..., None]
+    wy = (fy - y0.astype(jnp.float32))[..., None]
+    c00 = flat[y0 * width + x0]
+    c01 = flat[y0 * width + x1]
+    c10 = flat[y1 * width + x0]
+    c11 = flat[y1 * width + x1]
+    top = c00 * (1 - wx) + c01 * wx
+    bottom = c10 * (1 - wx) + c11 * wx
+    return top * (1 - wy) + bottom * wy

@@ -97,6 +97,56 @@ def closest_hit(
     return traverse.bvh_closest_hit(scene, origin, direction, t, index)
 
 
+def recompute_hit_distance(
+    scene: Scene,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    hit_index: jnp.ndarray,
+    t_detached: jnp.ndarray,
+) -> jnp.ndarray:
+    """Differentiable hit distance for an already-chosen primitive.
+
+    Traversal is a discrete search (its while-loop is not differentiable and
+    its output is piecewise-constant in the inputs), so reparameterised mode
+    detaches the *choice* of primitive and re-evaluates the analytic distance
+    — sphere quadratic or Möller–Trumbore — for that primitive only, which IS
+    smooth in origin/direction/geometry. Miss lanes return 0 so no 1e30
+    sentinel ever enters the differentiable graph (inf would leak NaN through
+    `where` in backward)."""
+    hit_index = jax.lax.stop_gradient(hit_index)
+    t_detached = jax.lax.stop_gradient(t_detached)
+    is_sphere = (hit_index >= 0) & (hit_index < scene.sphere_count)
+    is_tri = hit_index >= scene.sphere_count
+
+    sphere_i = jnp.clip(hit_index, 0, scene.sphere_center.shape[0] - 1)
+    center = scene.sphere_center[sphere_i]
+    radius = scene.sphere_radius[sphere_i]
+    offset = center - origin
+    minus_half_b = vecmath.dot(offset, direction)
+    quarter_disc = (
+        minus_half_b * minus_half_b
+        - vecmath.magnitude_squared(offset)
+        + radius * radius
+    )
+    half_sqrt = _safe_sqrt(quarter_disc)
+    near = minus_half_b - half_sqrt
+    far = minus_half_b + half_sqrt
+    take_near = jnp.abs(near - t_detached) <= jnp.abs(far - t_detached)
+    t_sphere = jnp.where(take_near, near, far)
+
+    tri_i = jnp.clip(hit_index - scene.sphere_count, 0, scene.tri_p1.shape[0] - 1)
+    p1 = scene.tri_p1[tri_i]
+    e1 = scene.tri_e1[tri_i]
+    e2 = scene.tri_e2[tri_i]
+    h = vecmath.cross(direction, e2)
+    det = vecmath.dot(h, e1)
+    inv_det = jnp.where(det == 0, 0.0, 1.0 / jnp.where(det == 0, 1.0, det))
+    q = vecmath.cross(origin - p1, e1)
+    t_tri = vecmath.dot(e2, q) * inv_det
+
+    return jnp.where(is_sphere, t_sphere, jnp.where(is_tri, t_tri, 0.0))
+
+
 def _gather_normal(
     scene: Scene, hit_index: jnp.ndarray, hit_point: jnp.ndarray
 ) -> jnp.ndarray:
@@ -128,8 +178,23 @@ def process_rays(
     scene.cu:320-487)."""
     alive = jnp.any(state.transmitted != 0.0, axis=-1)
 
-    t, hit_index = closest_hit(scene, state.origin, state.direction, alive)
+    # The closest-hit search is always detached (discrete, and the BVH walk's
+    # while-loop is not differentiable); reparam mode re-derives a smooth t.
+    t, hit_index = closest_hit(
+        scene,
+        jax.lax.stop_gradient(state.origin),
+        jax.lax.stop_gradient(state.direction),
+        alive,
+    )
+    t = jax.lax.stop_gradient(t)
+    hit_index = jax.lax.stop_gradient(hit_index)
     miss = hit_index < 0
+    if reparam:
+        t = recompute_hit_distance(scene, state.origin, state.direction, hit_index, t)
+    else:
+        # Keep sentinel 1e30 out of downstream products: miss lanes never use
+        # their hit_point, but inf/NaN would still leak through `where`.
+        t = jnp.where(miss, 0.0, t)
 
     draws = rng.uniforms(bounce_seeds(state.ray_id, pass_seed, bounce), 5)
     sphere_a = rng.on_sphere_from_bits(draws[0], draws[1])  # rough normal
@@ -137,7 +202,11 @@ def process_rays(
     sphere_b = rng.on_sphere_from_bits(draws[3], draws[4])  # diffuse dir
 
     # ---- Miss: environment radiance, ray dies (scene.cu:376-395) ----------
-    sky = envmap.sample_environment(scene.environment_map, state.direction)
+    # Reparam mode filters bilinearly so the sky is smooth in the (traced)
+    # scatter direction; parity mode keeps the reference's nearest fetch.
+    sky = envmap.sample_environment(
+        scene.environment_map, state.direction, bilinear=reparam
+    )
     collected_miss = state.collected + sky * state.transmitted
 
     # ---- Hit: emissive add + scatter --------------------------------------
