@@ -1,0 +1,99 @@
+"""Benchmark: forward+backward paths/s/chip on teapot.scene (BASELINE.json).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Measured scope matches the reference's (trace phase only — BVH build and
+image I/O excluded, raytracing.cu:172). The metric is the north-star
+*forward+backward* step throughput — one differentiable render pass plus the
+gradient of an L2 loss w.r.t. all material parameters and the sky — which the
+reference (forward-only) cannot do; ``vs_baseline`` therefore compares
+against the reference's *forward-only* teapot throughput (~7.1e7 paths/s on a
+GTX 1080, BASELINE.md derived table) as the stretch anchor.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+# Bench shape: small enough that round-1 kernels finish promptly; the metric
+# is per-path throughput, so it scales comparably across shapes.
+WIDTH = HEIGHT = 256
+RAYS_PER_PIXEL = 2
+BOUNCES = 10
+REPEATS = 3
+
+REFERENCE_FORWARD_PATHS_PER_S = 7.1e7  # teapot, GTX 1080, BASELINE.md
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from cuda_raytracer_tpu.models.scene_dsl import load_scene
+    from cuda_raytracer_tpu.render import diff
+
+    scene = load_scene(
+        "/root/reference/teapot.scene",
+        config_overrides=dict(
+            width=WIDTH, height=HEIGHT,
+            rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES,
+        ),
+    )
+    params, _ = diff.split_params(scene)
+    target = jnp.zeros((scene.num_pixels, 3), jnp.float32)
+
+    grad_fn = jax.jit(
+        jax.value_and_grad(
+            lambda p, seed: diff.loss_against_target(
+                p, scene, target, seed, RAYS_PER_PIXEL, BOUNCES
+            )
+        )
+    )
+
+    def step(seed):
+        loss, grads = grad_fn(params, jnp.uint32(seed))
+        jax.block_until_ready((loss, grads))
+        # Force a host sync through the tunnel-backed backend.
+        return float(loss)
+
+    step(0)  # compile
+    start = time.perf_counter()
+    for i in range(REPEATS):
+        step(i + 1)
+    elapsed = (time.perf_counter() - start) / REPEATS
+
+    paths = WIDTH * HEIGHT * RAYS_PER_PIXEL
+    value = paths / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "teapot_fwd_bwd_paths_per_s_per_chip",
+                "value": value,
+                "unit": "paths/s",
+                "vs_baseline": value / REFERENCE_FORWARD_PATHS_PER_S,
+                "detail": {
+                    "width": WIDTH,
+                    "height": HEIGHT,
+                    "rays_per_pixel": RAYS_PER_PIXEL,
+                    "bounces": BOUNCES,
+                    "seconds_per_step": elapsed,
+                    "backend": jax.default_backend(),
+                    "baseline_note": (
+                        "baseline is the reference's forward-only teapot "
+                        "throughput on GTX 1080; this metric includes backward"
+                    ),
+                },
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,13 +61,33 @@ def render_pass(
 def render_framebuffer(
     scene: Scene,
     progress: Optional[Callable[[int, int], None]] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 1,
+    metrics=None,
 ) -> jnp.ndarray:
     """Full multi-pass render → raw accumulated (pixels, 3) framebuffer.
     Matches the reference pass loop (raytracing.cu:222-254): chunks of ≤20
-    rays/pixel, pass seed = remaining rays after the chunk is subtracted."""
+    rays/pixel, pass seed = remaining rays after the chunk is subtracted.
+
+    With ``checkpoint_path``, resumes from a matching checkpoint and persists
+    at every ``checkpoint_every``-th pass boundary; because pass seeds derive
+    from the remaining-sample count, a resumed render is bit-identical to an
+    uninterrupted one (SURVEY §5.4)."""
+    from cuda_raytracer_tpu.utils import checkpoint as ckpt
+
     cfg = scene.config
     framebuffer = jnp.zeros((scene.num_pixels, 3), jnp.float32)
     remaining = cfg.rays_per_pixel
+    fingerprint = None
+    if checkpoint_path is not None:
+        fingerprint = ckpt.scene_fingerprint(scene)
+        restored = ckpt.load_checkpoint(checkpoint_path, fingerprint)
+        if restored is not None:
+            fb_np, samples_done = restored
+            framebuffer = jnp.asarray(fb_np)
+            remaining = cfg.rays_per_pixel - samples_done
+
+    passes_done = 0
     while remaining:
         chunk = min(remaining, cfg.max_rays_per_pixel_per_pass)
         remaining -= chunk
@@ -79,6 +99,19 @@ def render_framebuffer(
             bounces=cfg.bounces,
             sort_rays=cfg.sort_rays,
         )
+        passes_done += 1
+        if checkpoint_path is not None and (
+            passes_done % checkpoint_every == 0 or not remaining
+        ):
+            framebuffer.block_until_ready()
+            ckpt.save_checkpoint(
+                checkpoint_path,
+                np.asarray(framebuffer),
+                cfg.rays_per_pixel - remaining,
+                fingerprint,
+            )
+        if metrics is not None:
+            metrics.record("samples_done", cfg.rays_per_pixel - remaining)
         if progress is not None:
             framebuffer.block_until_ready()
             progress(cfg.rays_per_pixel - remaining, cfg.rays_per_pixel)

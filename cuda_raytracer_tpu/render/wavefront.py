@@ -296,6 +296,47 @@ def process_rays(
     )
 
 
+def process_rays_tiled(
+    scene: Scene,
+    state: RayState,
+    pass_seed,
+    bounce,
+    reparam: bool = False,
+    tile_size: int = 1 << 18,
+) -> RayState:
+    """process_rays over fixed-size ray tiles via ``lax.map``.
+
+    Bounds the per-step working set (the (rays × prims) intersection tiles
+    and traversal stacks) to ``tile_size`` rows regardless of wavefront size —
+    the analogue of the reference's grid-stride kernel launches, sized for
+    VMEM/HBM instead of SM occupancy. Cross-ray operations (sorting,
+    accumulation) stay outside; within a bounce every ray is independent, so
+    padding with dead lanes and slicing back is exact."""
+    rays = state.origin.shape[0]
+    if rays <= tile_size:
+        return process_rays(scene, state, pass_seed, bounce, reparam=reparam)
+
+    pad = (-rays) % tile_size
+    if pad:
+        def pad_leaf(x):
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths)
+
+        state = RayState(*(pad_leaf(leaf) for leaf in state))
+    tiles = (rays + pad) // tile_size
+
+    def tile_fn(tile_state):
+        return process_rays(scene, tile_state, pass_seed, bounce, reparam=reparam)
+
+    tiled = RayState(
+        *(leaf.reshape((tiles, tile_size) + leaf.shape[1:]) for leaf in state)
+    )
+    out = jax.lax.map(tile_fn, tiled)
+    return RayState(
+        *(leaf.reshape((tiles * tile_size,) + leaf.shape[2:])[:rays] for leaf in out)
+    )
+
+
 def reorder_rays(scene: Scene, state: RayState) -> RayState:
     """Morton-key sort of the wavefront (the CUB radix-sort step,
     raytracing.cu:238-247). Physically permutes the SoA state — on TPU a
@@ -322,15 +363,19 @@ def trace_wavefront(
     sort_rays: bool,
     reparam: bool = False,
     checkpoint_bounces: bool = True,
+    tile_size: int = 1 << 18,
 ) -> RayState:
     """March the wavefront through ``bounces`` scatter events. The loop is a
     Python loop over a static bounce count (the per-bounce graphs differ only
     in the seed scalar; XLA shares code across iterations), with
     ``jax.checkpoint`` on each bounce so the backward pass rematerialises
-    intermediates instead of storing every bounce's wavefront."""
+    intermediates instead of storing every bounce's wavefront. Per-bounce
+    work runs in ``tile_size``-ray tiles (see process_rays_tiled)."""
 
     def one_bounce(state, bounce):
-        new_state = process_rays(scene, state, pass_seed, bounce, reparam=reparam)
+        new_state = process_rays_tiled(
+            scene, state, pass_seed, bounce, reparam=reparam, tile_size=tile_size
+        )
         if sort_rays and bounce + 1 != bounces:
             new_state = reorder_rays(scene, new_state)
         return new_state

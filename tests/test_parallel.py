@@ -1,0 +1,110 @@
+"""Multi-device SPMD tests on the virtual 8-device CPU mesh.
+
+Acceptance (SURVEY §7.6): the sharded render must be bitwise/allclose
+identical to the single-device render, and sharded training must produce
+replicated, correct gradients.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cuda_raytracer_tpu.models.scene_dsl import load_scene
+from cuda_raytracer_tpu.parallel import mesh as mesh_mod
+from cuda_raytracer_tpu.parallel import shard
+from cuda_raytracer_tpu.render import diff
+from cuda_raytracer_tpu.render.pipeline import render_framebuffer
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    return load_scene(
+        f"{REF}/cornell.scene",
+        config_overrides=dict(width=8, height=8, rays_per_pixel=4, bounces=3),
+        prefer_native_bvh=False,
+    )
+
+
+@pytest.fixture(scope="module")
+def full_mesh():
+    assert len(jax.devices()) == 8, "conftest should provide 8 CPU devices"
+    return mesh_mod.make_mesh()
+
+
+def test_sharded_matches_single_device(cornell, full_mesh):
+    fb_single = np.asarray(render_framebuffer(cornell))
+    fb_sharded = np.asarray(shard.render_framebuffer_sharded(cornell, full_mesh))
+    # Same rays, same seeds; only the psum reduction order differs.
+    np.testing.assert_allclose(fb_sharded, fb_single, rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_handles_non_divisible_ray_count(cornell, full_mesh):
+    # 8x8 px * 3 rays = 192 rays; with rpp=3 rays pad to 8 devices evenly,
+    # use rpp=5 → 320 rays (divisible) and rpp=1 → 64... pick a genuinely
+    # non-divisible case: 8x8 * 7 = 448 = 8*56 divisible; width 9 gives
+    # 81 * 1 = 81 → pad to 88.
+    scene = load_scene(
+        f"{REF}/cornell.scene",
+        config_overrides=dict(width=9, height=9, rays_per_pixel=1, bounces=2),
+        prefer_native_bvh=False,
+    )
+    fb_single = np.asarray(render_framebuffer(scene))
+    fb = np.asarray(shard.render_framebuffer_sharded(scene, full_mesh))
+    np.testing.assert_allclose(fb, fb_single, rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_gradients_match_single_device(cornell, full_mesh):
+    params, _ = diff.split_params(cornell)
+    target = diff.render_radiance(params, cornell, jnp.uint32(3), 2, 3)
+
+    g_single = jax.grad(diff.loss_against_target)(
+        params, cornell, target, jnp.uint32(0), 2, 3
+    )
+    g_sharded = jax.grad(shard.sharded_loss)(
+        params, cornell, full_mesh, target, 2, jnp.uint32(0), 3
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_single), jax.tree_util.tree_leaves(g_sharded)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_sharded_train_step_runs_and_learns(cornell, full_mesh):
+    import optax
+
+    params, _ = diff.split_params(cornell)
+    target = diff.render_radiance(params, cornell, jnp.uint32(3), 2, 3)
+    import dataclasses
+
+    perturbed = params._replace(
+        materials=dataclasses.replace(
+            params.materials,
+            diffuse_albedo=params.materials.diffuse_albedo * 0.5,
+        )
+    )
+    optimizer = optax.adam(2e-2)
+    step = shard.make_sharded_train_step(
+        cornell, full_mesh, optimizer, rays_per_pixel=2, bounces=3
+    )
+    opt_state = optimizer.init(perturbed)
+    p = perturbed
+    first = last = None
+    for i in range(10):
+        p, opt_state, loss = step(p, opt_state, target, jnp.uint32(3))
+        if first is None:
+            first = float(loss)
+        last = float(loss)
+    assert last < first
+
+
+def test_mesh_helpers():
+    m = mesh_mod.make_mesh()
+    assert m.axis_names == ("rays",)
+    assert m.devices.size == 8
+    sub = mesh_mod.make_mesh(jax.devices()[:2])
+    assert sub.devices.size == 2
