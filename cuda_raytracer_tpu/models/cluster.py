@@ -1,0 +1,144 @@
+"""Triangle clusters: a BVH cut for dense, DMA-friendly intersection.
+
+The reference's per-thread BVH walk is the antithesis of TPU execution:
+divergent control flow and per-ray random gathers. The TPU-native structure
+built here cuts the SAH BVH at subtrees holding at most ``max_tris``
+triangles, yielding K *clusters* — contiguous triangle ranges with tight
+AABBs (BVH subtrees always cover contiguous ranges in the permuted triangle
+order, scene.cuh:82-100 layout). Rendering then becomes:
+
+  1. cull: slab-test every ray against all K cluster AABBs — dense,
+     gather-free VPU work;
+  2. pair: (ray, hit-cluster) pairs grouped by cluster into fixed-size tiles;
+  3. intersect: each tile runs Möller–Trumbore against its cluster's
+     *uniform padded block* of ``max_tris`` triangles — one contiguous block
+     per tile, fetched by index (a scalar-prefetch BlockSpec in the Pallas
+     kernel, a plain dynamic gather in the XLA fallback).
+
+Cluster-uniform padding stores triangles a second time in (K, C) block
+layout; padding slots are degenerate triangles (zero edges → MT determinant
+0 → miss).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from cuda_raytracer_tpu.models.bvh import BvhArrays
+
+DEFAULT_CLUSTER_TRIS = 256
+
+
+@dataclasses.dataclass
+class ClusterArrays:
+    """K clusters over the BVH-permuted triangle array."""
+
+    start: np.ndarray  # (K,) int32 — first triangle (permuted order)
+    count: np.ndarray  # (K,) int32 — triangles in cluster (<= C)
+    aabb_min: np.ndarray  # (K, 3) float32
+    aabb_max: np.ndarray  # (K, 3) float32
+    max_tris: int  # C — uniform block size
+
+    @property
+    def num_clusters(self) -> int:
+        return int(self.start.shape[0])
+
+
+def build_clusters(
+    bvh: BvhArrays, tri_count: int, max_tris: int = DEFAULT_CLUSTER_TRIS
+) -> ClusterArrays:
+    """Cut the BVH into subtrees of <= max_tris triangles (DFS order, so
+    cluster ranges are sorted and contiguous)."""
+    starts, counts, mins, maxs = [], [], [], []
+    if tri_count > 0:
+        # (node, range) DFS. Leaf ranges are stored in the node; inner ranges
+        # are the union of the children's, recovered by carrying them down.
+        stack = [(0, 0, tri_count)]
+        while stack:
+            node, lo, hi = stack.pop()
+            is_leaf = bvh.child2[node] <= bvh.child1[node]
+            if hi - lo <= max_tris or is_leaf:
+                # Oversized leaves (degenerate-partition BVH nodes, or the
+                # single-root no_bvh tree) are split into C-sized chunks that
+                # share the node's AABB.
+                for chunk_lo in range(lo, max(hi, lo + 1), max_tris):
+                    chunk_hi = min(chunk_lo + max_tris, hi)
+                    starts.append(chunk_lo)
+                    counts.append(chunk_hi - chunk_lo)
+                    mins.append(bvh.node_min[node])
+                    maxs.append(bvh.node_max[node])
+                    if chunk_hi >= hi:
+                        break
+                continue
+            left, right = int(bvh.child1[node]), int(bvh.child2[node])
+            # Left child covers [lo, mid), right [mid, hi): mid is the left
+            # subtree's range end — find it from the leftmost descent of the
+            # right child (equivalently the left child's rightmost leaf).
+            mid = _range_start(bvh, right)
+            stack.append((right, mid, hi))
+            stack.append((left, lo, mid))
+    if not starts:
+        starts, counts = [0], [0]
+        mins = [np.full(3, 1e30, np.float32)]
+        maxs = [np.full(3, -1e30, np.float32)]
+    return ClusterArrays(
+        start=np.asarray(starts, np.int32),
+        count=np.asarray(counts, np.int32),
+        aabb_min=np.asarray(mins, np.float32).reshape(-1, 3),
+        aabb_max=np.asarray(maxs, np.float32).reshape(-1, 3),
+        max_tris=max_tris,
+    )
+
+
+def _range_start(bvh: BvhArrays, node: int) -> int:
+    """First triangle index covered by ``node`` (follow left/leaf chain)."""
+    while bvh.child2[node] > bvh.child1[node]:  # inner
+        node = int(bvh.child1[node])
+    return int(bvh.child2[node])
+
+
+def pack_cluster_blocks(
+    clusters: ClusterArrays,
+    tri_p1: np.ndarray,
+    tri_e1: np.ndarray,
+    tri_e2: np.ndarray,
+    pad_coord: float = 1e17,
+):
+    """Cluster-uniform triangle storage.
+
+    Returns (blocks, slot_to_tri):
+      blocks      (K, 16, C) float32 — rows 0-8 are p1/e1/e2 components
+                  (p1x p1y p1z e1x e1y e1z e2x e2y e2z), rows 9-15 zero
+                  padding to a (16, C) sublane-aligned tile;
+      slot_to_tri (K*C,) int32 — permuted triangle index per slot, -1 pad.
+    """
+    K, C = clusters.num_clusters, clusters.max_tris
+    blocks = np.zeros((K, 16, C), np.float32)
+    slot_to_tri = np.full(K * C, -1, np.int32)
+    # Padding slots get a far-away degenerate triangle: zero edges give a
+    # zero MT determinant → guaranteed miss.
+    blocks[:, 0:3, :] = pad_coord
+    for k in range(K):
+        n = int(clusters.count[k])
+        if n == 0:
+            continue
+        lo = int(clusters.start[k])
+        blocks[k, 0:3, :n] = tri_p1[lo : lo + n].T
+        blocks[k, 3:6, :n] = tri_e1[lo : lo + n].T
+        blocks[k, 6:9, :n] = tri_e2[lo : lo + n].T
+        slot_to_tri[k * C : k * C + n] = np.arange(lo, lo + n, dtype=np.int32)
+    return blocks, slot_to_tri
+
+
+def cluster_stats(clusters: ClusterArrays) -> dict:
+    """Observability: fill rate and size distribution."""
+    counts = clusters.count
+    return dict(
+        num_clusters=clusters.num_clusters,
+        max_tris=clusters.max_tris,
+        total_tris=int(counts.sum()),
+        fill_rate=float(counts.sum() / max(1, counts.size * clusters.max_tris)),
+        largest=int(counts.max()) if counts.size else 0,
+    )

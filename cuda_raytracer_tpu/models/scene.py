@@ -85,6 +85,11 @@ class RenderConfig:
     )
     # Reorder rays by Morton key between bounces (reference `no_sort` flag).
     sort_rays: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    # Triangle intersector: "auto" (brute for small scenes, clustered
+    # otherwise), "brute", "clustered", or "bvh" (lockstep stack traversal).
+    intersector: str = dataclasses.field(metadata=dict(static=True), default="auto")
+    # Max hit clusters considered per ray in the clustered intersector.
+    cluster_h: int = dataclasses.field(metadata=dict(static=True), default=32)
 
 
 @jax.tree_util.register_dataclass
@@ -121,6 +126,13 @@ class Scene:
     bvh_child1: jnp.ndarray  # (N,) int32
     bvh_child2: jnp.ndarray  # (N,) int32
 
+    # Cluster cut of the BVH for dense TPU intersection (models/cluster.py):
+    # K cluster AABBs + uniform (K, 16, C) triangle blocks + slot→triangle map.
+    cluster_min: jnp.ndarray  # (K, 3)
+    cluster_max: jnp.ndarray  # (K, 3)
+    cluster_blocks: jnp.ndarray  # (K, 16, C)
+    cluster_slot_tri: jnp.ndarray  # (K*C,) int32, -1 for padding slots
+
     environment_map: jnp.ndarray  # (H, W, 3) linear radiance
     camera: Camera
 
@@ -137,6 +149,8 @@ class Scene:
     # Largest [child2, child1) leaf span — static bound for traversal's
     # leaf-intersection loop.
     max_leaf_size: int = dataclasses.field(metadata=dict(static=True))
+    num_clusters: int = dataclasses.field(metadata=dict(static=True), default=1)
+    cluster_tris: int = dataclasses.field(metadata=dict(static=True), default=256)
 
     @property
     def num_pixels(self) -> int:

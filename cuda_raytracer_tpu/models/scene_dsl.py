@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cuda_raytracer_tpu.models import bvh as bvh_mod
+from cuda_raytracer_tpu.models import cluster as cluster_mod
 from cuda_raytracer_tpu.models import pfm, ply, procedural
 from cuda_raytracer_tpu.models.scene import (
     Materials,
@@ -299,6 +300,12 @@ def assemble_scene(
     node_count = built.child1.shape[0]
     node_pad = round_up(node_count, 8)
 
+    # Cluster cut for the dense TPU intersector (models/cluster.py).
+    clusters = cluster_mod.build_clusters(built, tri_count)
+    cluster_blocks, slot_tri = cluster_mod.pack_cluster_blocks(
+        clusters, p1.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32)
+    )
+
     camera = precompute_camera(
         parsed.camera_position,
         parsed.camera_forward,
@@ -321,6 +328,10 @@ def assemble_scene(
         bvh_max=jnp.asarray(pad_rows(built.node_max, node_pad, bvh_mod.AABB_EMPTY_MAX)),
         bvh_child1=jnp.asarray(pad_rows(built.child1, node_pad, 0)),
         bvh_child2=jnp.asarray(pad_rows(built.child2, node_pad, 0)),
+        cluster_min=jnp.asarray(clusters.aabb_min),
+        cluster_max=jnp.asarray(clusters.aabb_max),
+        cluster_blocks=jnp.asarray(cluster_blocks),
+        cluster_slot_tri=jnp.asarray(slot_tri),
         environment_map=jnp.asarray(parsed.environment_map),
         camera=camera,
         min_coord=jnp.asarray(min_coord.astype(np.float32)),
@@ -331,6 +342,8 @@ def assemble_scene(
         material_count=len(mats),
         bvh_node_count=node_count,
         max_leaf_size=built.max_leaf_size,
+        num_clusters=clusters.num_clusters,
+        cluster_tris=clusters.max_tris,
     )
 
 

@@ -82,17 +82,36 @@ def closest_hit(
         origin, direction, scene.sphere_center, scene.sphere_radius
     )
     if alive is not None:
-        t = jnp.where(alive, t, 0.0)
+        # Dead rays enter the intersectors with a NEGATIVE search window:
+        # the slab test (tmin >= 0 > tmax) then rejects every box, so they
+        # generate no traversal work and no cluster pairs.
+        t = jnp.where(alive, t, -1.0)
     if scene.triangle_count == 0:
         return t, index
-    use_brute = scene.bvh_node_count <= 1 or scene.triangle_count <= 512
-    if use_brute:
+
+    mode = scene.config.intersector
+    if mode == "auto":
+        mode = "brute" if scene.triangle_count <= 512 else "clustered"
+    if scene.bvh_node_count <= 1:
+        # no_bvh: a single-leaf tree IS a linear scan (scene.cu:820) — the
+        # cluster cut would give every chunk the same huge AABB.
+        mode = "brute"
+
+    if mode == "brute":
         t_tri, i_tri = intersect.intersect_triangles_brute(
             origin, direction, scene.tri_p1, scene.tri_e1, scene.tri_e2
         )
         better = t_tri < t
         t = jnp.where(better, t_tri, t)
         index = jnp.where(better, scene.sphere_count + i_tri, index)
+        return t, index
+    if mode == "clustered":
+        from cuda_raytracer_tpu.ops import cluster_intersect
+
+        t, index, _overflow = cluster_intersect.closest_hit_clustered(
+            scene, origin, direction, t, index,
+            h_budget=scene.config.cluster_h,
+        )
         return t, index
     return traverse.bvh_closest_hit(scene, origin, direction, t, index)
 
