@@ -28,7 +28,11 @@ import numpy as np
 
 from cuda_raytracer_tpu.models.bvh import BvhArrays
 
-DEFAULT_CLUSTER_TRIS = 256
+# Swept on TPU v5e (teapot/lamp, 262k-ray tiles): larger clusters amortise
+# the pair machinery better until cull cost or H-overflow bites; 1024 is the
+# balanced default (teapot 0.11s vs 0.20s at 256 per tile; lamp needs the
+# full H=32 budget at this size).
+DEFAULT_CLUSTER_TRIS = 1024
 
 
 @dataclasses.dataclass

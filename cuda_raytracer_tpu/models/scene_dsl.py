@@ -215,6 +215,7 @@ def assemble_scene(
     use_bvh: bool = True,
     config_overrides: Optional[dict] = None,
     prefer_native_bvh: bool = True,
+    cluster_tris: int = cluster_mod.DEFAULT_CLUSTER_TRIS,
 ) -> Scene:
     """Build the device-ready `Scene` pytree from a parse result: BVH build,
     edge-form conversion, bounds, padding, upload."""
@@ -301,7 +302,7 @@ def assemble_scene(
     node_pad = round_up(node_count, 8)
 
     # Cluster cut for the dense TPU intersector (models/cluster.py).
-    clusters = cluster_mod.build_clusters(built, tri_count)
+    clusters = cluster_mod.build_clusters(built, tri_count, max_tris=cluster_tris)
     cluster_blocks, slot_tri = cluster_mod.pack_cluster_blocks(
         clusters, p1.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32)
     )
@@ -353,6 +354,7 @@ def load_scene(
     config_overrides: Optional[dict] = None,
     base_dir: Optional[str] = None,
     prefer_native_bvh: bool = True,
+    cluster_tris: int = cluster_mod.DEFAULT_CLUSTER_TRIS,
 ) -> Scene:
     """Parse + assemble a .scene file (reference entry point load_scene,
     scene.cuh:168). Relative asset paths resolve against ``base_dir`` (default:
@@ -368,4 +370,5 @@ def load_scene(
         use_bvh=use_bvh,
         config_overrides=config_overrides,
         prefer_native_bvh=prefer_native_bvh,
+        cluster_tris=cluster_tris,
     )

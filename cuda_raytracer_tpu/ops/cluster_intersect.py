@@ -63,18 +63,25 @@ def _cull_chunk(
         )
     mask = tmin_run <= tmax_run
     hit_count = mask.sum(axis=1).astype(jnp.int32)
-    # First H hit clusters in id order: score hits by descending (K - id) so
-    # top_k returns the smallest hit ids, already sorted.
-    scores = jnp.where(mask, K - jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1), 0)
-    top, _ = jax.lax.top_k(scores, min(h_budget, K))
-    cluster_list = jnp.where(top > 0, K - top, K)
+    # Keep the H *nearest* hit clusters (by slab entry distance): if the list
+    # truncates, only the farthest boxes are dropped, and the caller can
+    # certify the result — a final hit at t <= cutoff (the farthest kept
+    # entry) cannot live in a dropped (farther) cluster.
+    scores = jnp.where(mask, -tmin_run, -jnp.inf)
+    top, idx = jax.lax.top_k(scores, min(h_budget, K))
+    cluster_list = jnp.where(top > -jnp.inf, idx, K).astype(jnp.int32)
+    truncated = hit_count > cluster_list.shape[1]
+    cutoff = jnp.where(truncated, -top[:, -1], jnp.inf)
     if h_budget > K:
         pad = jnp.full(cluster_list.shape[:1] + (h_budget - K,), K, jnp.int32)
         cluster_list = jnp.concatenate([cluster_list, pad], axis=1)
-    return cluster_list, hit_count
+    return cluster_list, hit_count, cutoff
 
 
-@partial(jax.jit, static_argnames=("h_budget", "pair_tile", "chunk_tiles"))
+@partial(
+    jax.jit,
+    static_argnames=("h_budget", "pair_tile", "chunk_tiles", "pair_budget_factor"),
+)
 def closest_hit_clustered(
     scene: Scene,
     origin: jnp.ndarray,  # (R, 3)
@@ -100,16 +107,16 @@ def closest_hit_clustered(
 
     # ---- Phase A: cull (chunked so the (r, K) slab matrix stays small) ----
     if R <= CULL_CHUNK:
-        cluster_list, hit_count = _cull_chunk(
+        cluster_list, hit_count, cutoff = _cull_chunk(
             origin, inv_dir, closest, scene.cluster_min, scene.cluster_max, H
         )
     else:
         pad = (-R) % CULL_CHUNK
         o = jnp.pad(origin, ((0, pad), (0, 0)))
         i = jnp.pad(inv_dir, ((0, pad), (0, 0)), constant_values=1.0)
-        c = jnp.pad(closest, (0, pad))  # padded rays: tmax 0 → no hits
+        c = jnp.pad(closest, (0, pad), constant_values=-1.0)  # pads: no hits
         chunks = (R + pad) // CULL_CHUNK
-        cluster_list, hit_count = jax.lax.map(
+        cluster_list, hit_count, cutoff = jax.lax.map(
             lambda args: _cull_chunk(
                 *args, scene.cluster_min, scene.cluster_max, H
             ),
@@ -121,8 +128,8 @@ def closest_hit_clustered(
         )
         cluster_list = cluster_list.reshape(-1, cluster_list.shape[-1])[:R]
         hit_count = hit_count.reshape(-1)[:R]
+        cutoff = cutoff.reshape(-1)[:R]
     H_eff = cluster_list.shape[1]
-    overflow = jnp.sum(hit_count > H_eff)
 
     # ---- Phase B: group pairs by cluster into tile-aligned runs -----------
     # One multi-operand sort both compacts and groups: sentinel (no-hit)
@@ -130,7 +137,7 @@ def closest_hit_clustered(
     # form a prefix, grouped by cluster. The prefix is a *static* slice of
     # size pair_budget_factor * R (actual pairs average 2-4 per ray); pairs
     # beyond it are counted as overflow.
-    P = pair_budget_factor * R
+    P = min(pair_budget_factor * R, R * H_eff)
     pair_cluster_raw = cluster_list.reshape(R * H_eff)
     pair_ray_raw = jax.lax.broadcasted_iota(jnp.int32, (R, H_eff), 0).reshape(
         R * H_eff
@@ -141,7 +148,7 @@ def closest_hit_clustered(
     pc = pc_sorted[:P]
     pr = pr_sorted[:P]
     total_valid = jnp.sum(jnp.minimum(hit_count, H_eff))
-    overflow = overflow + jnp.maximum(total_valid - P, 0)
+    budget_drops = jnp.maximum(total_valid - P, 0)
     counts = jnp.bincount(pc, length=K + 1)[:K]
     padded_counts = ((counts + pair_tile - 1) // pair_tile) * pair_tile
     padded_start = jnp.concatenate(
@@ -279,4 +286,9 @@ def closest_hit_clustered(
     better = (t_ray < closest) & (tri_ray >= 0)
     new_closest = jnp.where(better, t_ray, closest)
     new_index = jnp.where(better, scene.sphere_count + tri_ray, hit_index)
+    # Certificate: a ray is suspect only if its final hit is farther than the
+    # entry of its nearest *dropped* cluster (cutoff); otherwise H-truncation
+    # provably did not change the answer.
+    suspects = jnp.sum(cutoff < new_closest)
+    overflow = budget_drops + suspects
     return new_closest, new_index, overflow
