@@ -85,11 +85,15 @@ class RenderConfig:
     )
     # Reorder rays by Morton key between bounces (reference `no_sort` flag).
     sort_rays: bool = dataclasses.field(metadata=dict(static=True), default=True)
-    # Triangle intersector: "auto" (brute for small scenes, clustered
-    # otherwise), "brute", "clustered", or "bvh" (lockstep stack traversal).
+    # Triangle intersector: "auto" (brute for small scenes, packet
+    # otherwise), "brute", "packet" (ray-tile clustered — the fast path),
+    # "clustered" (per-ray), or "bvh" (lockstep stack traversal).
     intersector: str = dataclasses.field(metadata=dict(static=True), default="auto")
     # Max hit clusters considered per ray in the clustered intersector.
     cluster_h: int = dataclasses.field(metadata=dict(static=True), default=32)
+    # Packet intersector: rays per tile and per-tile hit-cluster capacity.
+    packet_tile: int = dataclasses.field(metadata=dict(static=True), default=128)
+    packet_cap: int = dataclasses.field(metadata=dict(static=True), default=32)
 
 
 @jax.tree_util.register_dataclass

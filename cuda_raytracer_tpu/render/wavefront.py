@@ -91,7 +91,7 @@ def closest_hit(
 
     mode = scene.config.intersector
     if mode == "auto":
-        mode = "brute" if scene.triangle_count <= 512 else "clustered"
+        mode = "brute" if scene.triangle_count <= 512 else "packet"
     if scene.bvh_node_count <= 1:
         # no_bvh: a single-leaf tree IS a linear scan (scene.cu:820) — the
         # cluster cut would give every chunk the same huge AABB.
@@ -104,6 +104,15 @@ def closest_hit(
         better = t_tri < t
         t = jnp.where(better, t_tri, t)
         index = jnp.where(better, scene.sphere_count + i_tri, index)
+        return t, index
+    if mode == "packet":
+        from cuda_raytracer_tpu.ops import packet_intersect
+
+        t, index, _suspects = packet_intersect.closest_hit_packet(
+            scene, origin, direction, t, index,
+            tile=scene.config.packet_tile,
+            cap=min(scene.config.packet_cap, scene.num_clusters),
+        )
         return t, index
     if mode == "clustered":
         from cuda_raytracer_tpu.ops import cluster_intersect

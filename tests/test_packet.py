@@ -1,0 +1,122 @@
+"""Packet (ray-tile) intersector tests (ops/packet_intersect.py).
+
+Same A/B acceptance as the clustered path: exact agreement with brute force
+on distances (indices may differ only on exact distance ties), plus the
+packet-specific machinery — tile padding, per-tile cap certificate, dead-ray
+windows.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cuda_raytracer_tpu.models.scene_dsl import load_scene
+from cuda_raytracer_tpu.ops import intersect, packet_intersect
+
+from test_cluster import _scene_with_clusters
+
+REF = "/root/reference"
+
+
+def _random_rays(scene, n_rays, seed=0):
+    rng = np.random.default_rng(seed)
+    lo = np.asarray(scene.bvh_min[0])
+    hi = np.asarray(scene.bvh_max[0])
+    origin = jnp.asarray(rng.uniform(lo - 1, hi + 1, (n_rays, 3)).astype(np.float32))
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return origin, jnp.asarray(d)
+
+
+def _compare_with_brute(scene, n_rays=512, seed=0, cap=64, tile=128):
+    origin, direction = _random_rays(scene, n_rays, seed)
+    t0 = jnp.full((n_rays,), intersect.MISS)
+    i0 = jnp.full((n_rays,), -1, jnp.int32)
+    t_pk, i_pk, suspects = packet_intersect.closest_hit_packet(
+        scene, origin, direction, t0, i0,
+        tile=tile, cap=min(cap, scene.num_clusters),
+    )
+    assert int(suspects) == 0, f"certificate fired on {int(suspects)} rays"
+    t_br, i_br = intersect.intersect_triangles_brute(
+        origin, direction, scene.tri_p1, scene.tri_e1, scene.tri_e2
+    )
+    i_br = jnp.where(i_br >= 0, scene.sphere_count + i_br, i_br)
+    np.testing.assert_allclose(np.asarray(t_pk), np.asarray(t_br), rtol=1e-5, atol=1e-5)
+    mismatch = (np.asarray(i_pk) != np.asarray(i_br)).mean()
+    assert mismatch < 0.01  # ties only
+
+
+def test_packet_matches_brute_random_cloud():
+    _compare_with_brute(_scene_with_clusters())
+
+
+def test_packet_matches_brute_unaligned_ray_count():
+    # R not a multiple of the tile exercises the padding path.
+    _compare_with_brute(_scene_with_clusters(), n_rays=333)
+
+
+def test_packet_matches_brute_small_tile():
+    _compare_with_brute(_scene_with_clusters(), n_rays=256, tile=32)
+
+
+def test_packet_matches_brute_teapot_sample():
+    scene = load_scene(
+        f"{REF}/teapot.scene",
+        config_overrides=dict(width=8, height=8),
+        cluster_tris=512,
+    )
+    assert scene.num_clusters > 100
+    _compare_with_brute(scene, n_rays=256)
+
+
+def test_packet_dead_rays_untouched():
+    scene = _scene_with_clusters()
+    origin, direction = _random_rays(scene, 256)
+    # Dead rays carry a negative window; their (t, index) must pass through.
+    t0 = jnp.full((256,), -1.0)
+    i0 = jnp.full((256,), -7, jnp.int32)
+    t, i, suspects = packet_intersect.closest_hit_packet(
+        scene, origin, direction, t0, i0, cap=min(64, scene.num_clusters)
+    )
+    assert int(suspects) == 0
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(t0))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i0))
+
+
+def test_packet_certificate_fires_on_tiny_cap():
+    """With cap=1 on a many-cluster scene, the certificate must flag rays
+    (conservatively) rather than silently returning wrong hits."""
+    scene = _scene_with_clusters()
+    if scene.num_clusters < 3:
+        pytest.skip("needs several clusters")
+    origin, direction = _random_rays(scene, 256)
+    t0 = jnp.full((256,), intersect.MISS)
+    i0 = jnp.full((256,), -1, jnp.int32)
+    t_pk, i_pk, suspects = packet_intersect.closest_hit_packet(
+        scene, origin, direction, t0, i0, cap=1
+    )
+    t_br, _ = intersect.intersect_triangles_brute(
+        origin, direction, scene.tri_p1, scene.tri_e1, scene.tri_e2
+    )
+    wrong = ~np.isclose(np.asarray(t_pk), np.asarray(t_br), rtol=1e-5, atol=1e-5)
+    # every actually-wrong ray must be covered by the certificate count
+    assert int(suspects) >= int(wrong.sum())
+
+
+def test_packet_nearest_ranking_keeps_close_hits():
+    """Even with a cap that drops clusters, kept clusters are the nearest —
+    rays whose hit lies in the nearest cluster stay correct."""
+    scene = _scene_with_clusters()
+    cap = min(4, scene.num_clusters)
+    origin, direction = _random_rays(scene, 512)
+    t0 = jnp.full((512,), intersect.MISS)
+    i0 = jnp.full((512,), -1, jnp.int32)
+    t_pk, _, suspects = packet_intersect.closest_hit_packet(
+        scene, origin, direction, t0, i0, cap=cap
+    )
+    t_br, _ = intersect.intersect_triangles_brute(
+        origin, direction, scene.tri_p1, scene.tri_e1, scene.tri_e2
+    )
+    ok = np.isclose(np.asarray(t_pk), np.asarray(t_br), rtol=1e-5, atol=1e-5)
+    # all disagreements are flagged
+    assert int(suspects) >= int((~ok).sum())
