@@ -114,8 +114,10 @@ def pack_cluster_blocks(
 
     Returns (blocks, slot_to_tri):
       blocks      (K, 16, C) float32 — rows 0-8 are p1/e1/e2 components
-                  (p1x p1y p1z e1x e1y e1z e2x e2y e2z), rows 9-15 zero
-                  padding to a (16, C) sublane-aligned tile;
+                  (p1x p1y p1z e1x e1y e1z e2x e2y e2z), row 9 the permuted
+                  triangle index as float (-1 padding; exact below 2^24 —
+                  lets the Pallas sweep resolve hit ids without a gather),
+                  rows 10-15 zero padding to a (16, C) sublane-aligned tile;
       slot_to_tri (K*C,) int32 — permuted triangle index per slot, -1 pad.
     """
     K, C = clusters.num_clusters, clusters.max_tris
@@ -124,6 +126,7 @@ def pack_cluster_blocks(
     # Padding slots get a far-away degenerate triangle: zero edges give a
     # zero MT determinant → guaranteed miss.
     blocks[:, 0:3, :] = pad_coord
+    blocks[:, 9, :] = -1.0
     for k in range(K):
         n = int(clusters.count[k])
         if n == 0:
@@ -132,6 +135,7 @@ def pack_cluster_blocks(
         blocks[k, 0:3, :n] = tri_p1[lo : lo + n].T
         blocks[k, 3:6, :n] = tri_e1[lo : lo + n].T
         blocks[k, 6:9, :n] = tri_e2[lo : lo + n].T
+        blocks[k, 9, :n] = np.arange(lo, lo + n, dtype=np.float32)
         slot_to_tri[k * C : k * C + n] = np.arange(lo, lo + n, dtype=np.int32)
     return blocks, slot_to_tri
 

@@ -94,6 +94,9 @@ class RenderConfig:
     # Packet intersector: rays per tile and per-tile hit-cluster capacity.
     packet_tile: int = dataclasses.field(metadata=dict(static=True), default=128)
     packet_cap: int = dataclasses.field(metadata=dict(static=True), default=32)
+    # Sweep engine for the packet intersector: "auto" picks the Pallas
+    # kernel on TPU and the XLA while_loop elsewhere.
+    packet_backend: str = dataclasses.field(metadata=dict(static=True), default="auto")
 
 
 @jax.tree_util.register_dataclass

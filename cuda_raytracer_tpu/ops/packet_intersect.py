@@ -139,7 +139,7 @@ def _mt_tile_blocks(
     return best, slot
 
 
-@partial(jax.jit, static_argnames=("tile", "cap", "sweep_chunk"))
+@partial(jax.jit, static_argnames=("tile", "cap", "sweep_chunk", "backend"))
 def closest_hit_packet(
     scene: Scene,
     origin: jnp.ndarray,  # (R, 3)
@@ -149,12 +149,18 @@ def closest_hit_packet(
     tile: int = DEFAULT_TILE,
     cap: int = DEFAULT_CAP,
     sweep_chunk: int = DEFAULT_SWEEP_CHUNK,
+    backend: str = "xla",  # "xla" | "pallas" | "pallas_interpret"
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Update (closest, hit_index) with the nearest triangle hit.
 
     Returns (closest, hit_index, overflow); overflow counts (tile, cluster)
     pairs dropped past the per-tile ``cap`` (each may hide a hit — monitor
-    and raise the cap if it ever goes non-zero)."""
+    and raise the cap if it ever goes non-zero).
+
+    ``backend`` selects the phase C+D engine: "xla" (while_loop sweep +
+    dense reduce) or "pallas" (the hand-pipelined TPU kernel,
+    ops/pallas/sweep.py; "pallas_interpret" runs it in interpreter mode for
+    CPU tests)."""
     R = origin.shape[0]
     K = scene.num_clusters
     C = scene.cluster_tris
@@ -247,6 +253,27 @@ def closest_hit_packet(
     pair_tile = pair_flat // K
     pair_cluster = pair_flat % K
 
+    if backend in ("pallas", "pallas_interpret"):
+        from cuda_raytracer_tpu.ops.pallas import sweep as pallas_sweep
+
+        rays_tiles = (
+            jnp.concatenate([origin, direction], axis=1)
+            .reshape(T, tile, 6)
+            .transpose(0, 2, 1)
+        )
+        rays_tiles = jnp.pad(rays_tiles, ((0, 0), (0, 2), (0, 0)))
+        pairs = jnp.stack([pair_tile, pair_cluster])
+        t_tile, tri_tile = pallas_sweep.sweep_pairs(
+            rays_tiles,
+            scene.cluster_blocks,
+            pairs,
+            total,
+            interpret=(backend == "pallas_interpret"),
+        )
+        return _finalize(
+            scene, t_tile, tri_tile, cutoff, closest, hit_index, R, Rp, tile
+        )
+
     # ---- Phase C: dynamic-trip sweep over the compacted pair prefix -------
     o_tiles = origin.reshape(T, tile, 3)
     d_tiles = direction.reshape(T, tile, 3)
@@ -295,7 +322,10 @@ def closest_hit_packet(
     t_tile = jnp.min(t_cand, axis=1)  # (T, tile)
     matched = (t_cand < MISS) & (t_cand == t_tile[:, None, :])
     tri_tile = jnp.max(jnp.where(matched, tri_cand, -1), axis=1)
+    return _finalize(scene, t_tile, tri_tile, cutoff, closest, hit_index, R, Rp, tile)
 
+
+def _finalize(scene, t_tile, tri_tile, cutoff, closest, hit_index, R, Rp, tile):
     t_ray = t_tile.reshape(Rp)[:R]
     tri_ray = tri_tile.reshape(Rp)[:R]
 

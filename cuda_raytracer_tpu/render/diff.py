@@ -65,14 +65,18 @@ def render_radiance(
     pass_seed: jnp.ndarray,
     rays_per_pixel: int,
     bounces: int,
-    sort_rays: bool = False,
+    sort_rays: bool = None,
     reparam: bool = False,
 ) -> jnp.ndarray:
     """One differentiable pass → per-pixel mean radiance (pixels, 3).
 
     Normalised by rays_per_pixel (unlike the raw accumulation path) so losses
-    are spp-independent.
+    are spp-independent. ``sort_rays=None`` follows the scene config (the
+    Morton reorder both restores tile coherence for the packet intersector
+    and compacts dead rays into dead tiles; reference raytracing.cu:238-247).
     """
+    if sort_rays is None:
+        sort_rays = scene.config.sort_rays
     scene = merge_params(scene, params)
     pixels = scene.num_pixels
     ray_id = jnp.arange(pixels * rays_per_pixel, dtype=jnp.int32)

@@ -35,6 +35,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from cuda_raytracer_tpu.models.scene import Scene
 from cuda_raytracer_tpu.ops import camera as camera_ops
@@ -108,10 +109,14 @@ def closest_hit(
     if mode == "packet":
         from cuda_raytracer_tpu.ops import packet_intersect
 
+        backend = scene.config.packet_backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         t, index, _suspects = packet_intersect.closest_hit_packet(
             scene, origin, direction, t, index,
             tile=scene.config.packet_tile,
             cap=min(scene.config.packet_cap, scene.num_clusters),
+            backend=backend,
         )
         return t, index
     if mode == "clustered":
@@ -216,6 +221,11 @@ def process_rays(
     )
     t = jax.lax.stop_gradient(t)
     hit_index = jax.lax.stop_gradient(hit_index)
+    # Name the (tiny) intersection results so trace_wavefront's checkpoint
+    # policy saves them: the backward pass then rematerialises shading only,
+    # never re-running the (gradient-free) closest-hit search.
+    t = checkpoint_name(t, "hit_t")
+    hit_index = checkpoint_name(hit_index, "hit_index")
     miss = hit_index < 0
     if reparam:
         t = recompute_hit_distance(scene, state.origin, state.direction, hit_index, t)
@@ -397,8 +407,11 @@ def trace_wavefront(
     Python loop over a static bounce count (the per-bounce graphs differ only
     in the seed scalar; XLA shares code across iterations), with
     ``jax.checkpoint`` on each bounce so the backward pass rematerialises
-    intermediates instead of storing every bounce's wavefront. Per-bounce
-    work runs in ``tile_size``-ray tiles (see process_rays_tiled)."""
+    intermediates instead of storing every bounce's wavefront — except the
+    closest-hit results (t, hit index; ~5 bytes/ray/bounce), which are saved:
+    they carry no gradient, so re-running the intersection during backward
+    would be pure waste. Per-bounce work runs in ``tile_size``-ray tiles
+    (see process_rays_tiled)."""
 
     def one_bounce(state, bounce):
         new_state = process_rays_tiled(
@@ -408,7 +421,12 @@ def trace_wavefront(
             new_state = reorder_rays(scene, new_state)
         return new_state
 
-    step = jax.checkpoint(one_bounce, static_argnums=(1,)) if checkpoint_bounces else one_bounce
+    policy = jax.checkpoint_policies.save_only_these_names("hit_t", "hit_index")
+    step = (
+        jax.checkpoint(one_bounce, static_argnums=(1,), policy=policy)
+        if checkpoint_bounces
+        else one_bounce
+    )
     for bounce in range(bounces):
         state = step(state, bounce)
     return state

@@ -103,6 +103,25 @@ def test_packet_certificate_fires_on_tiny_cap():
     assert int(suspects) >= int(wrong.sum())
 
 
+def test_packet_pallas_backend_matches_xla():
+    """The Pallas sweep kernel (interpret mode on CPU) must agree with the
+    XLA while_loop sweep bit-for-bit — same MT arithmetic, same tie-break."""
+    scene = _scene_with_clusters()
+    origin, direction = _random_rays(scene, 333)
+    t0 = jnp.full((333,), intersect.MISS)
+    i0 = jnp.full((333,), -1, jnp.int32)
+    cap = min(64, scene.num_clusters)
+    t_x, i_x, s_x = packet_intersect.closest_hit_packet(
+        scene, origin, direction, t0, i0, cap=cap
+    )
+    t_p, i_p, s_p = packet_intersect.closest_hit_packet(
+        scene, origin, direction, t0, i0, cap=cap, backend="pallas_interpret"
+    )
+    assert int(s_x) == int(s_p) == 0
+    np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_p))
+    np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_p))
+
+
 def test_packet_nearest_ranking_keeps_close_hits():
     """Even with a cap that drops clusters, kept clusters are the nearest —
     rays whose hit lies in the nearest cluster stay correct."""
