@@ -85,6 +85,10 @@ class RenderConfig:
     )
     # Reorder rays by Morton key between bounces (reference `no_sort` flag).
     sort_rays: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    # Reorder only after bounces below this index: reordering pays through
+    # intersection coherence, which stops mattering once most of the
+    # wavefront is dead (rays sky out fast on open scenes). 0 = always.
+    sort_depth: int = dataclasses.field(metadata=dict(static=True), default=4)
     # Triangle intersector: "auto" (brute for small scenes, packet
     # otherwise), "brute", "packet" (ray-tile clustered — the fast path),
     # "clustered" (per-ray), or "bvh" (lockstep stack traversal).

@@ -201,6 +201,54 @@ def closest_hit_packet(
         tile_mask = tile_mask.reshape(-1, K)[:T]
         tile_entry = tile_entry.reshape(-1, K)[:T]
 
+    if backend in ("pallas", "pallas_interpret"):
+        # The Pallas sweep folds any number of pairs per tile into its
+        # VMEM accumulators, so no per-tile cap, no nearest-ranking, no
+        # certificate: results are EXACT while the global pair budget
+        # (cap pairs per tile on average) holds; `overflow` counts budget
+        # drops (raise `cap` if ever non-zero).
+        P = T * cap
+        flat = tile_mask.reshape(T * K)
+        dest = jnp.cumsum(flat) - 1
+        total = jnp.sum(flat)
+        overflow = jnp.maximum(total - P, 0)
+        dest = jnp.where(flat & (dest < P), dest, P)
+        dest = jax.lax.optimization_barrier(dest)
+        pair_flat = (
+            jnp.full((P,), T * K, jnp.int32)
+            .at[dest]
+            .set(
+                jnp.arange(T * K, dtype=jnp.int32),
+                mode="drop",
+                unique_indices=True,
+                indices_are_sorted=True,
+            )
+        )
+
+        from cuda_raytracer_tpu.ops.pallas import sweep as pallas_sweep
+
+        rays_tiles = (
+            jnp.concatenate([origin, direction], axis=1)
+            .reshape(T, tile, 6)
+            .transpose(0, 2, 1)
+        )
+        # Pad to 8 sublane rows, plus one zero dummy ray tile (row T) that
+        # sentinel pairs read — zero directions make every MT test miss.
+        rays_tiles = jnp.pad(rays_tiles, ((0, 1), (0, 2), (0, 0)))
+        pairs = jnp.stack([pair_flat // K, pair_flat % K])  # sentinel → (T, 0)
+        t_tile, tri_tile = pallas_sweep.sweep_pairs(
+            rays_tiles,
+            scene.cluster_blocks,
+            pairs,
+            jnp.minimum(total, P),
+            interpret=(backend == "pallas_interpret"),
+        )
+        cutoff = jnp.where(overflow > 0, -jnp.inf, jnp.inf)  # all-or-nothing
+        cutoff = jnp.broadcast_to(cutoff, (T,))
+        return _finalize(
+            scene, t_tile[:T], tri_tile[:T], cutoff, closest, hit_index, R, Rp, tile
+        )
+
     # ---- Phase B: capped pair list, nearest-first ranked ------------------
     # Each tile keeps its `cap` *nearest* hit clusters (by tile-min slab
     # entry). If a tile drops clusters, `cutoff` (the entry of its nearest
@@ -229,8 +277,11 @@ def closest_hit_packet(
     # scatter's fusion: XLA's SortedScatterEmitter check-fails on fused
     # non-sublane gather inputs (TPU v5e, jellyfish fusion_emitter.cc:4796).
     dest = jax.lax.optimization_barrier(dest)
+    # Sentinel entries (past `total`) decode to (tile=T, cluster=0): the
+    # Pallas sweep folds their (guaranteed-miss: zero dummy ray tile) output
+    # into a dummy row; the XLA sweep never reaches them (dynamic trip).
     pair_flat = (
-        jnp.full((P,), 0, jnp.int32)
+        jnp.full((P,), T * K, jnp.int32)
         .at[dest]
         .set(
             jnp.arange(T * K, dtype=jnp.int32),
@@ -252,27 +303,6 @@ def closest_hit_packet(
     )
     pair_tile = pair_flat // K
     pair_cluster = pair_flat % K
-
-    if backend in ("pallas", "pallas_interpret"):
-        from cuda_raytracer_tpu.ops.pallas import sweep as pallas_sweep
-
-        rays_tiles = (
-            jnp.concatenate([origin, direction], axis=1)
-            .reshape(T, tile, 6)
-            .transpose(0, 2, 1)
-        )
-        rays_tiles = jnp.pad(rays_tiles, ((0, 0), (0, 2), (0, 0)))
-        pairs = jnp.stack([pair_tile, pair_cluster])
-        t_tile, tri_tile = pallas_sweep.sweep_pairs(
-            rays_tiles,
-            scene.cluster_blocks,
-            pairs,
-            total,
-            interpret=(backend == "pallas_interpret"),
-        )
-        return _finalize(
-            scene, t_tile, tri_tile, cutoff, closest, hit_index, R, Rp, tile
-        )
 
     # ---- Phase C: dynamic-trip sweep over the compacted pair prefix -------
     o_tiles = origin.reshape(T, tile, 3)

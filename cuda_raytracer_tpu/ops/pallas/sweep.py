@@ -10,9 +10,16 @@ Why a hand-written kernel instead of the XLA while_loop (packet_intersect's
 phase C): XLA pays ~165 µs of loop/gather/scatter overhead per 64-pair
 iteration (measured v5e; 4.2 µs/pair against 1.53 µs/pair of pure compute),
 and needs (T·cap, tile) candidate buffers plus a separate reduction pass.
-Here the loop body is straight-line VPU math, pair data loads are explicit
-DMAs overlapped one pair ahead, and the reduction is a register-resident
-read-modify-write of the output row — no candidate buffers at all.
+Here pairs are processed in groups of ``GROUP``: one DMA wave and one
+straight-line unrolled compute block per group, so the scalar-core loop
+and semaphore costs amortise across the group; the reduction is a
+register-resident read-modify-write of the output row — no candidate
+buffers at all.
+
+Sentinel pairs (the tail of the static pair list past ``total``) carry
+tile id T and cluster 0: they compute garbage against a zero ray tile and
+fold it into a dummy output row that the caller slices off — branch-free
+tail handling.
 
 Reference semantics covered: closest-triangle-hit with epsilon 0.005 over
 the BVH-cut cluster blocks (scene.cu:134-241); ties broken toward the larger
@@ -33,6 +40,15 @@ MISS = 1e30
 
 # Pair ids staged into SMEM in chunks of this many pairs.
 PAIR_CHUNK = 512
+# Pairs fetched and computed per inner step (one DMA wave, unrolled compute).
+GROUP = 8
+
+
+# Lane width of one MT compute slice. The full (tile, C) expression holds
+# ~20 live intermediates — at C=1024 that is thousands of VREGs, which the
+# register allocator spills to VMEM. Slicing C bounds the live set to what
+# actually fits in vector registers (XLA's fusion tiles the same way).
+MT_SLICE = 256
 
 
 def _mt_pair(rays: jnp.ndarray, blk: jnp.ndarray, tile: int, C: int):
@@ -51,45 +67,54 @@ def _mt_pair(rays: jnp.ndarray, blk: jnp.ndarray, tile: int, C: int):
     dx = raysT[:, 3:4]
     dy = raysT[:, 4:5]
     dz = raysT[:, 5:6]
-    p1x = blk[0, :].reshape(1, C)
-    p1y = blk[1, :].reshape(1, C)
-    p1z = blk[2, :].reshape(1, C)
-    e1x = blk[3, :].reshape(1, C)
-    e1y = blk[4, :].reshape(1, C)
-    e1z = blk[5, :].reshape(1, C)
-    e2x = blk[6, :].reshape(1, C)
-    e2y = blk[7, :].reshape(1, C)
-    e2z = blk[8, :].reshape(1, C)
-    trif = blk[9, :].reshape(1, C)
 
-    # h = d × e2
-    hx = dy * e2z - dz * e2y
-    hy = dz * e2x - dx * e2z
-    hz = dx * e2y - dy * e2x
-    det = hx * e1x + hy * e1y + hz * e1z
-    fx = ox - p1x
-    fy = oy - p1y
-    fz = oz - p1z
-    ud = fx * hx + fy * hy + fz * hz
-    # q = f × e1
-    qx = fy * e1z - fz * e1y
-    qy = fz * e1x - fx * e1z
-    qz = fx * e1y - fy * e1x
-    vd = dx * qx + dy * qy + dz * qz
-    td = e2x * qx + e2y * qy + e2z * qz
-    s = jnp.sign(det)
-    ad = jnp.abs(det)
-    us = ud * s
-    vs = vd * s
-    ts = td * s
-    ok = (
-        (det != 0.0) & (us >= 0.0) & (us <= ad) & (vs >= 0.0)
-        & (us + vs <= ad) & (ts >= HIT_EPS * ad)
-    )
-    t = jnp.where(ok, td / jnp.where(det == 0.0, 1.0, det), MISS)  # (tile, C)
-    best = jnp.min(t, axis=1, keepdims=True)  # (tile, 1)
-    eq = t == best
-    tri = jnp.max(jnp.where(eq & (t < MISS), trif, -1.0), axis=1, keepdims=True)
+    W = min(MT_SLICE, C)
+    best = jnp.full((tile, 1), MISS, jnp.float32)
+    tri = jnp.full((tile, 1), -1.0, jnp.float32)
+    for cs in range(0, C, W):
+        sl = slice(cs, cs + W)
+        p1x = blk[0, sl].reshape(1, W)
+        p1y = blk[1, sl].reshape(1, W)
+        p1z = blk[2, sl].reshape(1, W)
+        e1x = blk[3, sl].reshape(1, W)
+        e1y = blk[4, sl].reshape(1, W)
+        e1z = blk[5, sl].reshape(1, W)
+        e2x = blk[6, sl].reshape(1, W)
+        e2y = blk[7, sl].reshape(1, W)
+        e2z = blk[8, sl].reshape(1, W)
+        trif = blk[9, sl].reshape(1, W)
+
+        # h = d × e2
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        det = hx * e1x + hy * e1y + hz * e1z
+        fx = ox - p1x
+        fy = oy - p1y
+        fz = oz - p1z
+        ud = fx * hx + fy * hy + fz * hz
+        # q = f × e1
+        qx = fy * e1z - fz * e1y
+        qy = fz * e1x - fx * e1z
+        qz = fx * e1y - fy * e1x
+        vd = dx * qx + dy * qy + dz * qz
+        td = e2x * qx + e2y * qy + e2z * qz
+        s = jnp.sign(det)
+        ad = jnp.abs(det)
+        us = ud * s
+        vs = vd * s
+        ts = td * s
+        ok = (
+            (det != 0.0) & (us >= 0.0) & (us <= ad) & (vs >= 0.0)
+            & (us + vs <= ad) & (ts >= HIT_EPS * ad)
+        )
+        t = jnp.where(ok, td / jnp.where(det == 0.0, 1.0, det), MISS)  # (tile, W)
+        m = jnp.min(t, axis=1, keepdims=True)  # (tile, 1)
+        eq = t == m
+        tr = jnp.max(jnp.where(eq & (t < MISS), trif, -1.0), axis=1, keepdims=True)
+        upd = (m < best) | ((m == best) & (tr > tri))
+        best = jnp.where(upd, m, best)
+        tri = jnp.where(upd, tr, tri)
     # One sublane→lane transpose each to match the (T, tile) output rows.
     return best.reshape(1, tile), tri.reshape(1, tile)
 
@@ -97,28 +122,30 @@ def _mt_pair(rays: jnp.ndarray, blk: jnp.ndarray, tile: int, C: int):
 def _sweep_kernel(
     # scalar prefetch
     total_ref,  # SMEM (1,) int32 — number of valid pairs
-    # inputs (ANY → stay in HBM; DMA'd manually)
-    pairs_ref,  # (2, P) int32 — rows [pair_tile; pair_cluster]
-    rays_ref,  # (T, 8, tile) f32
+    # inputs (HBM; DMA'd manually)
+    pairs_ref,  # (2, Pg) int32 — rows [pair_tile; pair_cluster]; sentinel
+    #             pairs past `total` carry (T, 0)
+    rays_ref,  # (T + 1, 8, tile) f32 — row T is a zero dummy tile
     blocks_ref,  # (K, 16, C) f32
     # outputs (VMEM)
-    t_out_ref,  # (T, tile) f32
-    tri_out_ref,  # (T, tile) f32
+    t_out_ref,  # (T + 1, tile) f32 — row T collects sentinel garbage
+    tri_out_ref,  # (T + 1, tile) f32
     # scratch
     pair_smem,  # SMEM (2, 2, PAIR_CHUNK) int32
-    ray_buf,  # VMEM (2, 8, tile) f32
-    blk_buf,  # VMEM (2, 16, C) f32
+    ray_buf,  # VMEM (2, GROUP, 8, tile) f32
+    blk_buf,  # VMEM (2, GROUP, 16, C) f32
     pair_sem,  # DMA (2,)
-    ray_sem,  # DMA (2,)
-    blk_sem,  # DMA (2,)
+    ray_sem,  # DMA (2, GROUP)
+    blk_sem,  # DMA (2, GROUP)
 ):
-    T, tile = t_out_ref.shape
-    C = blk_buf.shape[2]
+    T1, tile = t_out_ref.shape
+    C = blk_buf.shape[3]
     total = total_ref[0]
     n_chunks = pl.cdiv(total, PAIR_CHUNK)
+    groups_per_chunk = PAIR_CHUNK // GROUP
 
-    t_out_ref[:] = jnp.full((T, tile), MISS, jnp.float32)
-    tri_out_ref[:] = jnp.full((T, tile), -1.0, jnp.float32)
+    t_out_ref[:] = jnp.full((T1, tile), MISS, jnp.float32)
+    tri_out_ref[:] = jnp.full((T1, tile), -1.0, jnp.float32)
 
     def pair_dma(c, slot):
         return pltpu.make_async_copy(
@@ -127,13 +154,31 @@ def _sweep_kernel(
             pair_sem.at[slot],
         )
 
-    def data_dma(pslot, i, slot):
+    def data_dma(pslot, g, slot, j):
+        """DMA descriptors for pair j (0..GROUP) of group g (chunk-local)."""
+        i = g * GROUP + j
         pt_i = pair_smem[pslot, 0, i]
         pc_i = pair_smem[pslot, 1, i]
         return (
-            pltpu.make_async_copy(rays_ref.at[pt_i], ray_buf.at[slot], ray_sem.at[slot]),
-            pltpu.make_async_copy(blocks_ref.at[pc_i], blk_buf.at[slot], blk_sem.at[slot]),
+            pltpu.make_async_copy(
+                rays_ref.at[pt_i], ray_buf.at[slot, j], ray_sem.at[slot, j]
+            ),
+            pltpu.make_async_copy(
+                blocks_ref.at[pc_i], blk_buf.at[slot, j], blk_sem.at[slot, j]
+            ),
         )
+
+    def start_group(pslot, g, slot):
+        for j in range(GROUP):
+            r, b = data_dma(pslot, g, slot, j)
+            r.start()
+            b.start()
+
+    def wait_group(pslot, g, slot):
+        for j in range(GROUP):
+            r, b = data_dma(pslot, g, slot, j)
+            r.wait()
+            b.wait()
 
     @pl.when(n_chunks > 0)
     def _():
@@ -147,38 +192,34 @@ def _sweep_kernel(
             pair_dma(c + 1, (c + 1) % 2).start()
 
         pair_dma(c, pslot).wait()
+        # Number of groups with at least one REAL pair; sentinel-only tail
+        # groups are skipped entirely (their work would be pure garbage).
         rem = jnp.minimum(total - c * PAIR_CHUNK, PAIR_CHUNK)
+        n_groups = pl.cdiv(rem, GROUP)
 
-        # Prologue: start pair 0's data DMA.
-        r0, b0 = data_dma(pslot, 0, 0)
-        r0.start()
-        b0.start()
+        start_group(pslot, 0, 0)
 
-        def inner(i, _):
-            slot = i % 2
+        def inner(g, _):
+            slot = g % 2
 
-            @pl.when(i + 1 < rem)
+            @pl.when(g + 1 < n_groups)
             def _():
-                rn, bn = data_dma(pslot, i + 1, (i + 1) % 2)
-                rn.start()
-                bn.start()
+                start_group(pslot, g + 1, (g + 1) % 2)
 
-            rw, bw = data_dma(pslot, i, slot)
-            rw.wait()
-            bw.wait()
+            wait_group(pslot, g, slot)
 
-            best, tri = _mt_pair(ray_buf[slot], blk_buf[slot], tile, C)
-
-            tile_idx = pair_smem[pslot, 0, i]
-            row = pl.ds(tile_idx, 1)
-            cur_t = t_out_ref[row, :]
-            cur_tri = tri_out_ref[row, :]
-            upd = (best < cur_t) | ((best == cur_t) & (tri > cur_tri))
-            t_out_ref[row, :] = jnp.where(upd, best, cur_t)
-            tri_out_ref[row, :] = jnp.where(upd, tri, cur_tri)
+            for j in range(GROUP):
+                best, tri = _mt_pair(ray_buf[slot, j], blk_buf[slot, j], tile, C)
+                tile_idx = pair_smem[pslot, 0, g * GROUP + j]
+                row = pl.ds(tile_idx, 1)
+                cur_t = t_out_ref[row, :]
+                cur_tri = tri_out_ref[row, :]
+                upd = (best < cur_t) | ((best == cur_t) & (tri > cur_tri))
+                t_out_ref[row, :] = jnp.where(upd, best, cur_t)
+                tri_out_ref[row, :] = jnp.where(upd, tri, cur_tri)
             return 0
 
-        jax.lax.fori_loop(0, rem, inner, 0)
+        jax.lax.fori_loop(0, n_groups, inner, 0)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, outer, 0)
@@ -186,18 +227,25 @@ def _sweep_kernel(
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def sweep_pairs(
-    rays_tiles: jnp.ndarray,  # (T, 8, tile) f32 — rows [o xyz, d xyz, -, -]
+    rays_tiles: jnp.ndarray,  # (T + 1, 8, tile) f32 — rows [o xyz, d xyz, -, -]
     blocks: jnp.ndarray,  # (K, 16, C) f32
-    pairs: jnp.ndarray,  # (2, P) int32 — [pair_tile; pair_cluster], prefix-valid
+    pairs: jnp.ndarray,  # (2, P) int32 — [pair_tile; pair_cluster], prefix-
+    #                       valid with (T, 0) sentinels after `total`
     total: jnp.ndarray,  # () int32 — number of valid pairs
     interpret: bool = False,
 ):
-    """Run the sweep → (t_tile (T, tile) f32, tri_tile (T, tile) int32)."""
-    T, _, tile = rays_tiles.shape
+    """Run the sweep → (t_tile (T+1, tile) f32, tri_tile (T+1, tile) int32).
+
+    Callers slice off the final dummy row (sentinel-pair collector)."""
+    T1, _, tile = rays_tiles.shape
     P = pairs.shape[1]
     ppad = (-P) % PAIR_CHUNK
     if ppad:
-        pairs = jnp.pad(pairs, ((0, 0), (0, ppad)))
+        pairs = jnp.pad(
+            pairs, ((0, 0), (0, ppad)), constant_values=0
+        )
+        # Padded tail must stay sentinel-shaped: tile row = T1-1, cluster 0.
+        pairs = pairs.at[0, P:].set(T1 - 1)
     _, _, C = blocks.shape
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -214,19 +262,19 @@ def sweep_pairs(
         ),
         scratch_shapes=[
             pltpu.SMEM((2, 2, PAIR_CHUNK), jnp.int32),
-            pltpu.VMEM((2, 8, tile), jnp.float32),
-            pltpu.VMEM((2, 16, C), jnp.float32),
+            pltpu.VMEM((2, GROUP, 8, tile), jnp.float32),
+            pltpu.VMEM((2, GROUP, 16, C), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, GROUP)),
+            pltpu.SemaphoreType.DMA((2, GROUP)),
         ],
     )
     t_tile, tri_tile = pl.pallas_call(
         _sweep_kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((T, tile), jnp.float32),
-            jax.ShapeDtypeStruct((T, tile), jnp.float32),
+            jax.ShapeDtypeStruct((T1, tile), jnp.float32),
+            jax.ShapeDtypeStruct((T1, tile), jnp.float32),
         ),
         interpret=interpret,
     )(total.reshape(1).astype(jnp.int32), pairs, rays_tiles, blocks)

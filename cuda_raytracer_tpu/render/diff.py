@@ -84,9 +84,7 @@ def render_radiance(
     state = wavefront.trace_wavefront(
         scene, state, pass_seed, bounces, sort_rays, reparam=reparam
     )
-    acc = jax.ops.segment_sum(
-        state.collected, state.ray_id // rays_per_pixel, num_segments=pixels
-    )
+    acc = wavefront.accumulate_radiance(state, rays_per_pixel, pixels)
     return acc / rays_per_pixel
 
 

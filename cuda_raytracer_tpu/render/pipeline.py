@@ -50,11 +50,7 @@ def render_pass(
     state = wavefront.trace_wavefront(
         scene, state, pass_seed, bounces, sort_rays, reparam=reparam
     )
-    contribution = jax.ops.segment_sum(
-        state.collected,
-        state.ray_id // rays_per_pixel,
-        num_segments=pixels,
-    )
+    contribution = wavefront.accumulate_radiance(state, rays_per_pixel, pixels)
     return framebuffer + contribution
 
 

@@ -250,16 +250,35 @@ def process_rays(
     # ---- Hit: emissive add + scatter --------------------------------------
     hit_point = state.origin + t[:, None] * state.direction
     hit_safe = jnp.clip(hit_index, 0, scene.material_index.shape[0] - 1)
-    mat_i = scene.material_index[hit_safe]
+    mat_i = checkpoint_name(scene.material_index[hit_safe], "hit_mat")
     mats = scene.materials
-    diffuse = mats.diffuse_albedo[mat_i]
-    specular = mats.specular_albedo[mat_i]
-    emitted = mats.emitted[mat_i]
-    metallicity = mats.metallicity[mat_i]
-    roughness = mats.roughness[mat_i]
-    ior0 = mats.index_of_refraction[mat_i]
+    # Material table lookups as one-hot matmuls: the table is tiny (M <= a
+    # few dozen, padded), and a (R, M) @ (M, ·) contraction beats R-sized
+    # row gathers on TPU — and its VJP is a matmul into the parameter table
+    # instead of a scatter-add (the north-star gradients flow through here).
+    M = mats.diffuse_albedo.shape[0]
+    onehot = (mat_i[:, None] == jnp.arange(M, dtype=mat_i.dtype)).astype(jnp.float32)
+    mat3 = jnp.concatenate(
+        [mats.diffuse_albedo, mats.specular_albedo, mats.emitted], axis=1
+    )  # (M, 9)
+    mat1 = jnp.stack(
+        [mats.metallicity, mats.roughness, mats.index_of_refraction], axis=1
+    )  # (M, 3)
+    per_ray3 = onehot @ mat3  # (R, 9)
+    per_ray1 = onehot @ mat1  # (R, 3)
+    diffuse = per_ray3[:, 0:3]
+    specular = per_ray3[:, 3:6]
+    emitted = per_ray3[:, 6:9]
+    metallicity = per_ray1[:, 0]
+    roughness = per_ray1[:, 1]
+    ior0 = per_ray1[:, 2]
 
     normal = _gather_normal(scene, hit_safe, hit_point)
+    if not reparam:
+        # Geometry carries no gradient in detached mode — save the gathered
+        # normal across the bounce checkpoint so backward skips the
+        # (R,3)-row gather over the triangle table.
+        normal = checkpoint_name(jax.lax.stop_gradient(normal), "hit_geom_normal")
     front_face = vecmath.dot(normal, state.direction) < 0
     normal = jnp.where(front_face[:, None], normal, -normal)
 
@@ -375,6 +394,30 @@ def process_rays_tiled(
     )
 
 
+def _pack_state(state: RayState) -> jnp.ndarray:
+    """Pack the SoA wavefront into one (R, 16) float32 block (ray_id
+    bitcast into lanes 12): row-gathers of 3-wide arrays run element-wise on
+    TPU (~1.5 ms per (R,3) gather at R=131k), so permutations move ONE wide
+    array instead of five narrow ones."""
+    rid = jax.lax.bitcast_convert_type(state.ray_id, jnp.float32)[:, None]
+    pad = jnp.zeros((state.origin.shape[0], 3), jnp.float32)
+    return jnp.concatenate(
+        [state.origin, state.direction, state.transmitted, state.collected,
+         rid, pad],
+        axis=1,
+    )
+
+
+def _unpack_state(packed: jnp.ndarray) -> RayState:
+    return RayState(
+        origin=packed[:, 0:3],
+        direction=packed[:, 3:6],
+        transmitted=packed[:, 6:9],
+        collected=packed[:, 9:12],
+        ray_id=jax.lax.bitcast_convert_type(packed[:, 12], jnp.int32),
+    )
+
+
 def reorder_rays(scene: Scene, state: RayState) -> RayState:
     """Morton-key sort of the wavefront (the CUB radix-sort step,
     raytracing.cu:238-247). Physically permutes the SoA state — on TPU a
@@ -384,13 +427,7 @@ def reorder_rays(scene: Scene, state: RayState) -> RayState:
         state.origin, state.direction, alive, scene.min_coord, scene.inv_extent
     )
     perm = jnp.argsort(keys)
-    return RayState(
-        state.origin[perm],
-        state.direction[perm],
-        state.transmitted[perm],
-        state.collected[perm],
-        state.ray_id[perm],
-    )
+    return _unpack_state(_pack_state(state)[perm])
 
 
 def trace_wavefront(
@@ -413,15 +450,22 @@ def trace_wavefront(
     would be pure waste. Per-bounce work runs in ``tile_size``-ray tiles
     (see process_rays_tiled)."""
 
+    sort_depth = scene.config.sort_depth or bounces
+
     def one_bounce(state, bounce):
         new_state = process_rays_tiled(
             scene, state, pass_seed, bounce, reparam=reparam, tile_size=tile_size
         )
-        if sort_rays and bounce + 1 != bounces:
+        # Static per-bounce decision (the loop is unrolled): sort while the
+        # wavefront is young; deep bounces are mostly dead rays where the
+        # reorder costs more than the coherence it buys.
+        if sort_rays and bounce + 1 != bounces and bounce < sort_depth:
             new_state = reorder_rays(scene, new_state)
         return new_state
 
-    policy = jax.checkpoint_policies.save_only_these_names("hit_t", "hit_index")
+    policy = jax.checkpoint_policies.save_only_these_names(
+        "hit_t", "hit_index", "hit_mat", "hit_geom_normal"
+    )
     step = (
         jax.checkpoint(one_bounce, static_argnums=(1,), policy=policy)
         if checkpoint_bounces
@@ -430,6 +474,43 @@ def trace_wavefront(
     for bounce in range(bounces):
         state = step(state, bounce)
     return state
+
+
+@jax.custom_vjp
+def _unsort_by_ray_id(collected: jnp.ndarray, ray_id: jnp.ndarray) -> jnp.ndarray:
+    """collected rows restored to ray-id order.
+
+    ray_id is a permutation of arange(R), so the inverse of
+    ``order = argsort(ray_id)`` is ray_id itself: ray_id[order[j]] = j.
+    The custom VJP exploits that — backward is a plain gather by ray_id —
+    where XLA's autodiff of a gather emits a scatter-add tree (~16 ms at
+    R=131k vs ~1.5 ms for the gather)."""
+    return collected[jnp.argsort(ray_id)]
+
+
+def _unsort_fwd(collected, ray_id):
+    return _unsort_by_ray_id(collected, ray_id), ray_id
+
+
+def _unsort_bwd(ray_id, g):
+    return g[ray_id], None
+
+
+_unsort_by_ray_id.defvjp(_unsort_fwd, _unsort_bwd)
+
+
+def accumulate_radiance(
+    state: RayState, rays_per_pixel: int, num_pixels: int
+) -> jnp.ndarray:
+    """Per-pixel radiance sums from a (possibly reordered) wavefront.
+
+    The TPU-native form of the reference's atomicAdd accumulate kernel
+    (raytracing.cu:96-107). Ray ids are a permutation of arange(R): sorting
+    by id restores pixel-major order, after which per-pixel accumulation is
+    a plain reshape-sum — measured ~5x cheaper than a scattered-id
+    segment_sum tree at R=131k."""
+    collected = _unsort_by_ray_id(state.collected, state.ray_id)
+    return collected.reshape(num_pixels, rays_per_pixel, 3).sum(axis=1)
 
 
 def make_initial_state(
