@@ -174,6 +174,71 @@ def closest_hit_packet(
     else:
         closest_p = closest
     T = Rp // tile
+
+    if backend in ("pallas", "pallas_interpret"):
+        # Pallas path: cull kernel (phase A) + cumsum pair extraction
+        # (phase B, no cap/ranking — the sweep folds any number of pairs per
+        # tile into its VMEM accumulators, so results are EXACT while the
+        # global pair budget holds; `overflow` counts budget drops) + the
+        # pipelined sweep kernel (phases C+D).
+        from cuda_raytracer_tpu.ops.pallas import cull as pallas_cull
+        from cuda_raytracer_tpu.ops.pallas import sweep as pallas_sweep
+
+        interpret = backend == "pallas_interpret"
+        rays_tiles = (
+            jnp.concatenate([origin, direction], axis=1)
+            .reshape(T, tile, 6)
+            .transpose(0, 2, 1)
+        )
+        # Pad to 8 sublane rows, plus one zero dummy ray tile (row T) that
+        # sentinel pairs read — zero directions make every MT test miss.
+        # The lane (ray) dim pads to 128 so DMA slices stay tile-aligned;
+        # kernels slice back to `tile` lanes (zero lanes would be dead rays).
+        rays_tiles = jnp.pad(rays_tiles, ((0, 1), (0, 2), (0, max(0, 128 - tile))))
+        aabb = jnp.concatenate(
+            [
+                scene.cluster_min.T,
+                scene.cluster_max.T,
+                jnp.zeros((2, K), jnp.float32),
+            ],
+            axis=0,
+        )  # (8, K)
+        mask = pallas_cull.cull_tiles(
+            rays_tiles, closest_p.reshape(T, tile), aabb, interpret=interpret
+        )
+        flat = mask.reshape(T * K) > 0.0
+
+        P = T * cap
+        dest = jnp.cumsum(flat) - 1
+        total = jnp.sum(flat)
+        overflow = jnp.maximum(total - P, 0)
+        dest = jnp.where(flat & (dest < P), dest, P)
+        dest = jax.lax.optimization_barrier(dest)
+        pair_flat = (
+            jnp.full((P,), T * K, jnp.int32)
+            .at[dest]
+            .set(
+                jnp.arange(T * K, dtype=jnp.int32),
+                mode="drop",
+                unique_indices=True,
+                indices_are_sorted=True,
+            )
+        )
+        pairs = jnp.stack([pair_flat // K, pair_flat % K])  # sentinel → (T, 0)
+        t_tile, tri_tile = pallas_sweep.sweep_pairs(
+            rays_tiles,
+            scene.cluster_blocks,
+            pairs,
+            jnp.minimum(total, P),
+            tile=tile,
+            interpret=interpret,
+        )
+        cutoff = jnp.where(overflow > 0, -jnp.inf, jnp.inf)  # all-or-nothing
+        cutoff = jnp.broadcast_to(cutoff, (T,))
+        return _finalize(
+            scene, t_tile[:T], tri_tile[:T], cutoff, closest, hit_index, R, Rp, tile
+        )
+
     inv_dir = _safe_inv_dir(direction)
 
     # ---- Phase A: tile-level cull mask + entry distances (T, K) -----------
@@ -200,54 +265,6 @@ def closest_hit_packet(
         )
         tile_mask = tile_mask.reshape(-1, K)[:T]
         tile_entry = tile_entry.reshape(-1, K)[:T]
-
-    if backend in ("pallas", "pallas_interpret"):
-        # The Pallas sweep folds any number of pairs per tile into its
-        # VMEM accumulators, so no per-tile cap, no nearest-ranking, no
-        # certificate: results are EXACT while the global pair budget
-        # (cap pairs per tile on average) holds; `overflow` counts budget
-        # drops (raise `cap` if ever non-zero).
-        P = T * cap
-        flat = tile_mask.reshape(T * K)
-        dest = jnp.cumsum(flat) - 1
-        total = jnp.sum(flat)
-        overflow = jnp.maximum(total - P, 0)
-        dest = jnp.where(flat & (dest < P), dest, P)
-        dest = jax.lax.optimization_barrier(dest)
-        pair_flat = (
-            jnp.full((P,), T * K, jnp.int32)
-            .at[dest]
-            .set(
-                jnp.arange(T * K, dtype=jnp.int32),
-                mode="drop",
-                unique_indices=True,
-                indices_are_sorted=True,
-            )
-        )
-
-        from cuda_raytracer_tpu.ops.pallas import sweep as pallas_sweep
-
-        rays_tiles = (
-            jnp.concatenate([origin, direction], axis=1)
-            .reshape(T, tile, 6)
-            .transpose(0, 2, 1)
-        )
-        # Pad to 8 sublane rows, plus one zero dummy ray tile (row T) that
-        # sentinel pairs read — zero directions make every MT test miss.
-        rays_tiles = jnp.pad(rays_tiles, ((0, 1), (0, 2), (0, 0)))
-        pairs = jnp.stack([pair_flat // K, pair_flat % K])  # sentinel → (T, 0)
-        t_tile, tri_tile = pallas_sweep.sweep_pairs(
-            rays_tiles,
-            scene.cluster_blocks,
-            pairs,
-            jnp.minimum(total, P),
-            interpret=(backend == "pallas_interpret"),
-        )
-        cutoff = jnp.where(overflow > 0, -jnp.inf, jnp.inf)  # all-or-nothing
-        cutoff = jnp.broadcast_to(cutoff, (T,))
-        return _finalize(
-            scene, t_tile[:T], tri_tile[:T], cutoff, closest, hit_index, R, Rp, tile
-        )
 
     # ---- Phase B: capped pair list, nearest-first ranked ------------------
     # Each tile keeps its `cap` *nearest* hit clusters (by tile-min slab

@@ -54,13 +54,14 @@ MT_SLICE = 256
 def _mt_pair(rays: jnp.ndarray, blk: jnp.ndarray, tile: int, C: int):
     """Möller–Trumbore of one ray tile vs one cluster block.
 
-    rays: (8, tile) — rows [ox oy oz dx dy dz, -, -]. Transposed once here to
-          (tile, 8) so the per-component (tile, 1) slices broadcast against
-          (1, C) block rows without a lane↔sublane shuffle per component.
+    rays: (8, L) — rows [ox oy oz dx dy dz, -, -], lanes padded to L >= tile.
+          Transposed once here to (tile, 8) so the per-component (tile, 1)
+          slices broadcast against (1, C) block rows without a lane↔sublane
+          shuffle per component.
     blk:  (16, C)   — rows [p1 e1 e2 (xyz each), tri_id, ...]
     Returns (best_t (1, tile), best_tri (1, tile) float).
     Division-free sign-folded acceptance (see packet_intersect)."""
-    raysT = rays.T  # (tile, 8)
+    raysT = rays[:, :tile].T  # (tile, 8)
     ox = raysT[:, 0:1]
     oy = raysT[:, 1:2]
     oz = raysT[:, 2:3]
@@ -125,14 +126,14 @@ def _sweep_kernel(
     # inputs (HBM; DMA'd manually)
     pairs_ref,  # (2, Pg) int32 — rows [pair_tile; pair_cluster]; sentinel
     #             pairs past `total` carry (T, 0)
-    rays_ref,  # (T + 1, 8, tile) f32 — row T is a zero dummy tile
+    rays_ref,  # (T + 1, 8, L) f32 — row T is a zero dummy tile; L >= tile
     blocks_ref,  # (K, 16, C) f32
     # outputs (VMEM)
     t_out_ref,  # (T + 1, tile) f32 — row T collects sentinel garbage
     tri_out_ref,  # (T + 1, tile) f32
     # scratch
     pair_smem,  # SMEM (2, 2, PAIR_CHUNK) int32
-    ray_buf,  # VMEM (2, GROUP, 8, tile) f32
+    ray_buf,  # VMEM (2, GROUP, 8, L) f32
     blk_buf,  # VMEM (2, GROUP, 16, C) f32
     pair_sem,  # DMA (2,)
     ray_sem,  # DMA (2, GROUP)
@@ -225,19 +226,22 @@ def _sweep_kernel(
     jax.lax.fori_loop(0, n_chunks, outer, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def sweep_pairs(
-    rays_tiles: jnp.ndarray,  # (T + 1, 8, tile) f32 — rows [o xyz, d xyz, -, -]
+    rays_tiles: jnp.ndarray,  # (T + 1, 8, L) f32 — rows [o xyz, d xyz, -, -]
     blocks: jnp.ndarray,  # (K, 16, C) f32
     pairs: jnp.ndarray,  # (2, P) int32 — [pair_tile; pair_cluster], prefix-
     #                       valid with (T, 0) sentinels after `total`
     total: jnp.ndarray,  # () int32 — number of valid pairs
+    tile: int = None,  # rays per tile (lanes L may be padded past it)
     interpret: bool = False,
 ):
     """Run the sweep → (t_tile (T+1, tile) f32, tri_tile (T+1, tile) int32).
 
     Callers slice off the final dummy row (sentinel-pair collector)."""
-    T1, _, tile = rays_tiles.shape
+    T1, _, lanes = rays_tiles.shape
+    if tile is None:
+        tile = lanes
     P = pairs.shape[1]
     ppad = (-P) % PAIR_CHUNK
     if ppad:
@@ -262,7 +266,7 @@ def sweep_pairs(
         ),
         scratch_shapes=[
             pltpu.SMEM((2, 2, PAIR_CHUNK), jnp.int32),
-            pltpu.VMEM((2, GROUP, 8, tile), jnp.float32),
+            pltpu.VMEM((2, GROUP, 8, lanes), jnp.float32),
             pltpu.VMEM((2, GROUP, 16, C), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, GROUP)),

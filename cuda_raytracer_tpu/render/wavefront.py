@@ -264,8 +264,11 @@ def process_rays(
     mat1 = jnp.stack(
         [mats.metallicity, mats.roughness, mats.index_of_refraction], axis=1
     )  # (M, 3)
-    per_ray3 = onehot @ mat3  # (R, 9)
-    per_ray1 = onehot @ mat1  # (R, 3)
+    # HIGHEST precision: the default TPU matmul rounds operands to bf16,
+    # which would perturb material values by ~2^-8; with a 0/1 one-hot the
+    # product must reproduce the table entries exactly.
+    per_ray3 = jnp.matmul(onehot, mat3, precision=jax.lax.Precision.HIGHEST)
+    per_ray1 = jnp.matmul(onehot, mat1, precision=jax.lax.Precision.HIGHEST)
     diffuse = per_ray3[:, 0:3]
     specular = per_ray3[:, 3:6]
     emitted = per_ray3[:, 6:9]
