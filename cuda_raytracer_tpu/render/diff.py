@@ -84,7 +84,10 @@ def render_radiance(
     state = wavefront.trace_wavefront(
         scene, state, pass_seed, bounces, sort_rays, reparam=reparam
     )
-    acc = wavefront.accumulate_radiance(state, rays_per_pixel, pixels)
+    acc = wavefront.accumulate_radiance(
+        state, rays_per_pixel, pixels,
+        ordered=wavefront.wavefront_ordered(scene, sort_rays, bounces),
+    )
     return acc / rays_per_pixel
 
 

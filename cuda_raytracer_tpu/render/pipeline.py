@@ -50,7 +50,10 @@ def render_pass(
     state = wavefront.trace_wavefront(
         scene, state, pass_seed, bounces, sort_rays, reparam=reparam
     )
-    contribution = wavefront.accumulate_radiance(state, rays_per_pixel, pixels)
+    contribution = wavefront.accumulate_radiance(
+        state, rays_per_pixel, pixels,
+        ordered=wavefront.wavefront_ordered(scene, sort_rays, bounces),
+    )
     return framebuffer + contribution
 
 

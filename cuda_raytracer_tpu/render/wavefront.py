@@ -397,6 +397,44 @@ def process_rays_tiled(
     )
 
 
+def resolved_intersector(scene: Scene) -> str:
+    """The triangle intersector closest_hit will actually use."""
+    mode = scene.config.intersector
+    if mode == "auto":
+        mode = "brute" if scene.triangle_count <= 512 else "packet"
+    if scene.bvh_node_count <= 1 or scene.triangle_count == 0:
+        mode = "brute"
+    return mode
+
+
+def reorder_is_useful(scene: Scene) -> bool:
+    """Morton reordering pays only through tile coherence in the packet /
+    clustered intersectors; for brute-force scenes the sort is pure cost
+    (matches the reference's own finding that reordering only helps complex
+    scenes, REPORT p.7)."""
+    return resolved_intersector(scene) != "brute"
+
+
+# Rays are reordered within fixed-size chunks rather than globally: XLA's
+# sort is O(n log^2 n) and dominates big wavefronts (≈0.5 s for one 10M-ray
+# argsort on v5e), while chunk-local Morton order gives the packet
+# intersector the same tile coherence. Chunk-locality also makes the
+# final by-ray-id unsort a cheap per-chunk operation, because a ray can
+# never leave its chunk.
+SORT_CHUNK = 1 << 18
+
+
+def sort_chunk_size(rays: int) -> int:
+    """Largest divisor of ``rays`` at most SORT_CHUNK (floor 4096; falls
+    back to a global sort when none divides evenly)."""
+    if rays <= SORT_CHUNK:
+        return rays
+    for cs in range(SORT_CHUNK, 4095, -1):
+        if rays % cs == 0:
+            return cs
+    return rays
+
+
 def _pack_state(state: RayState) -> jnp.ndarray:
     """Pack the SoA wavefront into one (R, 16) float32 block (ray_id
     bitcast into lanes 12): row-gathers of 3-wide arrays run element-wise on
@@ -423,14 +461,24 @@ def _unpack_state(packed: jnp.ndarray) -> RayState:
 
 def reorder_rays(scene: Scene, state: RayState) -> RayState:
     """Morton-key sort of the wavefront (the CUB radix-sort step,
-    raytracing.cu:238-247). Physically permutes the SoA state — on TPU a
-    sort+gather is the native form of the reference's index indirection."""
+    raytracing.cu:238-247), chunk-local (see SORT_CHUNK). Physically
+    permutes the SoA state — on TPU a sort+gather is the native form of the
+    reference's index indirection."""
     alive = jnp.any(state.transmitted != 0.0, axis=-1)
     keys = morton.ray_sort_keys(
         state.origin, state.direction, alive, scene.min_coord, scene.inv_extent
     )
-    perm = jnp.argsort(keys)
-    return _unpack_state(_pack_state(state)[perm])
+    R = keys.shape[0]
+    cs = sort_chunk_size(R)
+    packed = _pack_state(state)
+    if cs == R:
+        return _unpack_state(packed[jnp.argsort(keys)])
+    nc = R // cs
+    order = jnp.argsort(keys.reshape(nc, cs), axis=1)
+    permuted = jnp.take_along_axis(
+        packed.reshape(nc, cs, packed.shape[1]), order[:, :, None], axis=1
+    )
+    return _unpack_state(permuted.reshape(R, packed.shape[1]))
 
 
 def trace_wavefront(
@@ -453,6 +501,7 @@ def trace_wavefront(
     would be pure waste. Per-bounce work runs in ``tile_size``-ray tiles
     (see process_rays_tiled)."""
 
+    sort_rays = sort_rays and reorder_is_useful(scene)
     sort_depth = scene.config.sort_depth or bounces
 
     def one_bounce(state, bounce):
@@ -483,12 +532,22 @@ def trace_wavefront(
 def _unsort_by_ray_id(collected: jnp.ndarray, ray_id: jnp.ndarray) -> jnp.ndarray:
     """collected rows restored to ray-id order.
 
-    ray_id is a permutation of arange(R), so the inverse of
-    ``order = argsort(ray_id)`` is ray_id itself: ray_id[order[j]] = j.
-    The custom VJP exploits that — backward is a plain gather by ray_id —
-    where XLA's autodiff of a gather emits a scatter-add tree (~16 ms at
-    R=131k vs ~1.5 ms for the gather)."""
-    return collected[jnp.argsort(ray_id)]
+    Reordering is chunk-local (SORT_CHUNK), so chunk c always holds exactly
+    the ids [c*cs, (c+1)*cs) — the unsort is a per-chunk argsort + gather.
+    The custom VJP exploits that ids are a within-chunk permutation:
+    backward is a plain per-chunk gather by the local ids — where XLA's
+    autodiff of a gather emits a scatter-add tree (~16 ms at R=131k vs
+    ~1.5 ms for the gather)."""
+    R = ray_id.shape[0]
+    cs = sort_chunk_size(R)
+    if cs == R:
+        return collected[jnp.argsort(ray_id)]
+    nc = R // cs
+    order = jnp.argsort(ray_id.reshape(nc, cs), axis=1)
+    out = jnp.take_along_axis(
+        collected.reshape(nc, cs, collected.shape[1]), order[:, :, None], axis=1
+    )
+    return out.reshape(R, collected.shape[1])
 
 
 def _unsort_fwd(collected, ray_id):
@@ -496,14 +555,26 @@ def _unsort_fwd(collected, ray_id):
 
 
 def _unsort_bwd(ray_id, g):
-    return g[ray_id], None
+    R = ray_id.shape[0]
+    cs = sort_chunk_size(R)
+    if cs == R:
+        return g[ray_id], None
+    nc = R // cs
+    local = ray_id.reshape(nc, cs) - (
+        jnp.arange(nc, dtype=ray_id.dtype)[:, None] * cs
+    )
+    dg = jnp.take_along_axis(g.reshape(nc, cs, g.shape[1]), local[:, :, None], axis=1)
+    return dg.reshape(R, g.shape[1]), None
 
 
 _unsort_by_ray_id.defvjp(_unsort_fwd, _unsort_bwd)
 
 
 def accumulate_radiance(
-    state: RayState, rays_per_pixel: int, num_pixels: int
+    state: RayState,
+    rays_per_pixel: int,
+    num_pixels: int,
+    ordered: bool = False,
 ) -> jnp.ndarray:
     """Per-pixel radiance sums from a (possibly reordered) wavefront.
 
@@ -511,9 +582,23 @@ def accumulate_radiance(
     (raytracing.cu:96-107). Ray ids are a permutation of arange(R): sorting
     by id restores pixel-major order, after which per-pixel accumulation is
     a plain reshape-sum — measured ~5x cheaper than a scattered-id
-    segment_sum tree at R=131k."""
-    collected = _unsort_by_ray_id(state.collected, state.ray_id)
+    segment_sum tree at R=131k. ``ordered=True`` (wavefront never
+    reordered) skips the unsort entirely."""
+    collected = state.collected
+    if not ordered:
+        collected = _unsort_by_ray_id(collected, state.ray_id)
     return collected.reshape(num_pixels, rays_per_pixel, 3).sum(axis=1)
+
+
+def wavefront_ordered(scene: Scene, sort_rays: bool, bounces: int) -> bool:
+    """True when trace_wavefront will never physically reorder the rays —
+    the accumulator can then skip the by-ray-id unsort."""
+    return not (
+        sort_rays
+        and reorder_is_useful(scene)
+        and bounces > 1
+        and (scene.config.sort_depth or bounces) > 0
+    )
 
 
 def make_initial_state(
