@@ -42,9 +42,21 @@ def intersect_spheres(
     # Reference order: accept near if >= eps, else consider far.
     t = jnp.where(near >= HIT_EPS, near, jnp.where(far >= HIT_EPS, far, MISS))
     t = jnp.where(ok, t, MISS)  # (R, S)
-    best = jnp.argmin(t, axis=1)  # first minimum wins ties, like the ref loop
-    best_t = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
-    index = jnp.where(best_t < MISS, best, -1)
+    return _closest(t)
+
+
+def _closest(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(best_t, index | -1) per row of a (R, N) hit-distance matrix, first
+    minimum winning ties like the reference loops. Dense min + equality
+    mask — a take_along_axis gather here costs ~2 ms per 262k rays on TPU
+    (row gathers run element-wise), dominating small-scene renders."""
+    N = t.shape[1]
+    best_t = jnp.min(t, axis=1)
+    eq = t == best_t[:, None]
+    idx = jnp.min(
+        jnp.where(eq, jnp.arange(N, dtype=jnp.int32)[None, :], N), axis=1
+    )
+    index = jnp.where(best_t < MISS, idx, -1)
     return jnp.where(best_t < MISS, best_t, MISS), index.astype(jnp.int32)
 
 
@@ -95,10 +107,7 @@ def intersect_triangles_brute(
         e1[None, :, :],
         e2[None, :, :],
     )  # (R, T)
-    best = jnp.argmin(t, axis=1)
-    best_t = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
-    index = jnp.where(best_t < MISS, best, -1)
-    return jnp.where(best_t < MISS, best_t, MISS), index.astype(jnp.int32)
+    return _closest(t)
 
 
 def ray_aabb(
