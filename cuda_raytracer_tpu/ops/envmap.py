@@ -80,6 +80,12 @@ def sample_environment(
     need the sky to vary smoothly with the scatter direction.
     """
     height, width = env_map.shape[0], env_map.shape[1]
+    if height * width == 1:
+        # Constant sky (the `sky r g b` DSL command, scene.cu:597-608):
+        # broadcast instead of gathering a 1-texel table per ray.
+        return jnp.broadcast_to(
+            env_map.reshape(3), direction.shape[:-1] + (3,)
+        )
     uv = equal_area_sphere_to_square(rotate_to_map_space(direction))
     flat = env_map.reshape(-1, 3)
     if not bilinear:

@@ -31,9 +31,17 @@ def intersect_spheres(
 
     Returns (t, index): t == MISS and index == -1 when nothing is hit.
     """
-    offset = center[None, :, :] - origin[:, None, :]  # (R, S, 3)
-    minus_half_b = jnp.einsum("rsk,rk->rs", offset, direction)
-    quarter_c = vecmath.magnitude_squared(offset) - radius[None, :] * radius[None, :]
+    # Component form: (R, 1) × (1, S) broadcasts, no (R, S, 3) stacks.
+    offx = center[None, :, 0] - origin[:, 0:1]
+    offy = center[None, :, 1] - origin[:, 1:2]
+    offz = center[None, :, 2] - origin[:, 2:3]
+    minus_half_b = (
+        offx * direction[:, 0:1] + offy * direction[:, 1:2] + offz * direction[:, 2:3]
+    )
+    quarter_c = (
+        offx * offx + offy * offy + offz * offz
+        - radius[None, :] * radius[None, :]
+    )
     quarter_disc = minus_half_b * minus_half_b - quarter_c
     ok = quarter_disc >= 0
     half_sqrt = jnp.sqrt(jnp.maximum(quarter_disc, 0.0))
@@ -99,15 +107,41 @@ def intersect_triangles_brute(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Closest triangle hit per ray over all triangles as one (R, T) tile.
     Semantically equal to traversing a single-leaf BVH (the reference's
-    no_bvh mode). Returns (t, triangle_index | -1)."""
-    t = moller_trumbore(
-        origin[:, None, :],
-        direction[:, None, :],
-        p1[None, :, :],
-        e1[None, :, :],
-        e2[None, :, :],
-    )  # (R, T)
-    return _closest(t)
+    no_bvh mode). Returns (t, triangle_index | -1).
+
+    Component form — per-axis (R, 1) × (1, T) broadcasts instead of
+    (R, T, 3) vector stacks, which XLA materialises per dot product
+    (measured ~8 ms per 262k-ray tile on 32 triangles vs sub-ms fused)."""
+    ox = origin[:, 0:1]
+    oy = origin[:, 1:2]
+    oz = origin[:, 2:3]
+    dx = direction[:, 0:1]
+    dy = direction[:, 1:2]
+    dz = direction[:, 2:3]
+    p1x, p1y, p1z = p1[None, :, 0], p1[None, :, 1], p1[None, :, 2]
+    e1x, e1y, e1z = e1[None, :, 0], e1[None, :, 1], e1[None, :, 2]
+    e2x, e2y, e2z = e2[None, :, 0], e2[None, :, 1], e2[None, :, 2]
+    # h = d × e2
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    det = hx * e1x + hy * e1y + hz * e1z
+    inv_det = jnp.where(det == 0, 0.0, 1.0 / jnp.where(det == 0, 1.0, det))
+    fx = ox - p1x
+    fy = oy - p1y
+    fz = oz - p1z
+    u = (fx * hx + fy * hy + fz * hz) * inv_det
+    # q = f × e1
+    qx = fy * e1z - fz * e1y
+    qy = fz * e1x - fx * e1z
+    qz = fx * e1y - fy * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    valid = (
+        (det != 0) & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+        & (t >= HIT_EPS)
+    )
+    return _closest(jnp.where(valid, t, MISS))
 
 
 def ray_aabb(

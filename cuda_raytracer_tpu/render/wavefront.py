@@ -90,13 +90,10 @@ def closest_hit(
     if scene.triangle_count == 0:
         return t, index
 
-    mode = scene.config.intersector
-    if mode == "auto":
-        mode = "brute" if scene.triangle_count <= 512 else "packet"
-    if scene.bvh_node_count <= 1:
-        # no_bvh: a single-leaf tree IS a linear scan (scene.cu:820) — the
-        # cluster cut would give every chunk the same huge AABB.
-        mode = "brute"
+    # no_bvh note: with a single-leaf tree (scene.cu:820) the cluster cut
+    # degenerates to same-AABB chunks, so resolved_intersector falls back
+    # to the brute linear scan — exactly the reference's no_bvh semantics.
+    mode = resolved_intersector(scene)
 
     if mode == "brute":
         t_tri, i_tri = intersect.intersect_triangles_brute(
@@ -180,6 +177,33 @@ def recompute_hit_distance(
     return jnp.where(is_sphere, t_sphere, jnp.where(is_tri, t_tri, 0.0))
 
 
+# Tables at or below this row count are looked up with a one-hot matmul
+# instead of a row gather: TPU row gathers of narrow rows run element-wise
+# (~2 ms per (262k, 3) gather), while a (R, N) @ (N, 3) contraction is
+# bandwidth-bound. Exact for 0/1 one-hots at HIGHEST precision.
+SMALL_TABLE = 128
+
+
+def _lookup(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] with the one-hot path for small tables. idx must be
+    pre-clamped to range."""
+    n = table.shape[0]
+    if n > SMALL_TABLE:
+        return table[idx]
+    onehot = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)).astype(jnp.float32)
+    squeeze = table.ndim == 1
+    t2 = table[:, None] if squeeze else table
+    int_out = jnp.issubdtype(t2.dtype, jnp.integer)
+    out = jnp.matmul(
+        onehot,
+        t2.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if int_out:
+        out = out.astype(table.dtype)  # exact below 2^24
+    return out[:, 0] if squeeze else out
+
+
 def _gather_normal(
     scene: Scene, hit_index: jnp.ndarray, hit_point: jnp.ndarray
 ) -> jnp.ndarray:
@@ -190,10 +214,10 @@ def _gather_normal(
     tri_i = jnp.clip(
         hit_index - scene.sphere_count, 0, scene.tri_normal.shape[0] - 1
     )
-    center = scene.sphere_center[sphere_i]
-    radius = scene.sphere_radius[sphere_i]
+    center = _lookup(scene.sphere_center, sphere_i)
+    radius = _lookup(scene.sphere_radius, sphere_i)
     sphere_n = (hit_point - center) / jnp.where(radius == 0, 1.0, radius)[:, None]
-    tri_n = scene.tri_normal[tri_i]
+    tri_n = _lookup(scene.tri_normal, tri_i)
     return jnp.where(is_sphere[:, None], sphere_n, tri_n)
 
 
@@ -250,7 +274,7 @@ def process_rays(
     # ---- Hit: emissive add + scatter --------------------------------------
     hit_point = state.origin + t[:, None] * state.direction
     hit_safe = jnp.clip(hit_index, 0, scene.material_index.shape[0] - 1)
-    mat_i = checkpoint_name(scene.material_index[hit_safe], "hit_mat")
+    mat_i = checkpoint_name(_lookup(scene.material_index, hit_safe), "hit_mat")
     mats = scene.materials
     # Material table lookups as one-hot matmuls: the table is tiny (M <= a
     # few dozen, padded), and a (R, M) @ (M, ·) contraction beats R-sized
@@ -398,7 +422,12 @@ def process_rays_tiled(
 
 
 def resolved_intersector(scene: Scene) -> str:
-    """The triangle intersector closest_hit will actually use."""
+    """The triangle intersector closest_hit will actually use.
+
+    auto → packet everywhere on TPU (the Pallas sweep kernel beats even the
+    brute (R, T) tile for small scenes — XLA materialises (R, T, 3)
+    intermediates per dot product, the kernel keeps them in registers);
+    brute for small scenes elsewhere (CPU oracle path)."""
     mode = scene.config.intersector
     if mode == "auto":
         mode = "brute" if scene.triangle_count <= 512 else "packet"
