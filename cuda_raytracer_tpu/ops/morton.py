@@ -56,7 +56,13 @@ def ray_sort_keys(
 ) -> jnp.ndarray:
     """32-bit coherence keys for a ray batch (scene.cu:484 semantics):
     high half = Morton code of the normalised origin, low half = Morton code
-    of the direction mapped from [-1,1] to [0,1]. Dead rays → 0xFFFFFFFF."""
+    of the direction mapped from [-1,1] to [0,1]. Dead rays → 0xFFFFFFFF.
+
+    Key-layout note (measured on teapot, v5e): adaptive live-wavefront
+    origin bounds and direction-major layouts were both tried and LOSE
+    (fwd+bwd step 130 → 147 / 179 ms) — finer origin sorting scatters
+    directions within ray tiles, growing each tile's hit-cluster union.
+    The reference layout with static scene bounds stays."""
     origin_unit = vecmath.clamp01((origin - min_coord) * inv_extent)
     dir_unit = 0.5 * (direction + 1.0)
     keys = (morton_code(origin_unit) << 16) | morton_code(dir_unit)
