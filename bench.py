@@ -26,7 +26,7 @@ warnings.filterwarnings("ignore")
 WIDTH = HEIGHT = 256
 RAYS_PER_PIXEL = 2
 BOUNCES = 10
-REPEATS = 3
+REPEATS = 10
 
 REFERENCE_FORWARD_PATHS_PER_S = 7.1e7  # teapot, GTX 1080, BASELINE.md
 
@@ -56,16 +56,16 @@ def main() -> int:
         )
     )
 
-    def step(seed):
-        loss, grads = grad_fn(params, jnp.uint32(seed))
-        jax.block_until_ready((loss, grads))
-        # Force a host sync through the tunnel-backed backend.
-        return float(loss)
-
-    step(0)  # compile
+    # Steady-state throughput: warm up, then enqueue REPEATS independent
+    # steps and sync once. Dispatch is async; the device executes the steps
+    # back-to-back, so total/REPEATS is sustained per-step device time
+    # without charging the remote-TPU tunnel's ~30 ms per-sync round-trip
+    # to every step (PERF_NOTES.md "Measurement pitfalls").
+    jax.block_until_ready(grad_fn(params, jnp.uint32(0)))  # compile
+    jax.block_until_ready(grad_fn(params, jnp.uint32(1)))  # warm caches
     start = time.perf_counter()
-    for i in range(REPEATS):
-        step(i + 1)
+    outs = [grad_fn(params, jnp.uint32(i + 2)) for i in range(REPEATS)]
+    jax.block_until_ready(outs)
     elapsed = (time.perf_counter() - start) / REPEATS
 
     paths = WIDTH * HEIGHT * RAYS_PER_PIXEL
