@@ -57,6 +57,9 @@ DEFAULT_CAP = 16
 DEFAULT_SWEEP_CHUNK = 64
 # Ray rows per cull step: bounds the transient (rows, K) slab matrix.
 CULL_ROWS = 1 << 13
+# Pallas path round-1 sweep width: nearest clusters per tile by slab entry
+# (0 disables the two-round front-to-back sweep).
+ROUND1_NEAREST = 4
 
 
 def _cull_tile_mask(
@@ -139,7 +142,10 @@ def _mt_tile_blocks(
     return best, slot
 
 
-@partial(jax.jit, static_argnames=("tile", "cap", "sweep_chunk", "backend"))
+@partial(
+    jax.jit,
+    static_argnames=("tile", "cap", "sweep_chunk", "backend", "two_round"),
+)
 def closest_hit_packet(
     scene: Scene,
     origin: jnp.ndarray,  # (R, 3)
@@ -150,6 +156,7 @@ def closest_hit_packet(
     cap: int = DEFAULT_CAP,
     sweep_chunk: int = DEFAULT_SWEEP_CHUNK,
     backend: str = "xla",  # "xla" | "pallas" | "pallas_interpret"
+    two_round: bool = False,  # pallas path: front-to-back two-round sweep
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Update (closest, hit_index) with the nearest triangle hit.
 
@@ -203,36 +210,75 @@ def closest_hit_packet(
             ],
             axis=0,
         )  # (8, K)
-        mask = pallas_cull.cull_tiles(
-            rays_tiles, closest_p.reshape(T, tile), aabb, interpret=interpret
-        )
-        flat = mask.reshape(T * K) > 0.0
-
         P = T * cap
-        dest = jnp.cumsum(flat) - 1
-        total = jnp.sum(flat)
-        overflow = jnp.maximum(total - P, 0)
-        dest = jnp.where(flat & (dest < P), dest, P)
-        dest = jax.lax.optimization_barrier(dest)
-        pair_flat = (
-            jnp.full((P,), T * K, jnp.int32)
-            .at[dest]
-            .set(
-                jnp.arange(T * K, dtype=jnp.int32),
-                mode="drop",
-                unique_indices=True,
-                indices_are_sorted=True,
+
+        def extract_and_sweep(sel_flat):
+            """(T·K,) bool pair selection → swept (t, tri) tile maps +
+            overflow count (pairs dropped past the global budget P)."""
+            dest = jnp.cumsum(sel_flat) - 1
+            total = jnp.sum(sel_flat)
+            ovf = jnp.maximum(total - P, 0)
+            dest = jnp.where(sel_flat & (dest < P), dest, P)
+            dest = jax.lax.optimization_barrier(dest)
+            pair_flat = (
+                jnp.full((P,), T * K, jnp.int32)
+                .at[dest]
+                .set(
+                    jnp.arange(T * K, dtype=jnp.int32),
+                    mode="drop",
+                    unique_indices=True,
+                    indices_are_sorted=True,
+                )
             )
-        )
-        pairs = jnp.stack([pair_flat // K, pair_flat % K])  # sentinel → (T, 0)
-        t_tile, tri_tile = pallas_sweep.sweep_pairs(
-            rays_tiles,
-            scene.cluster_blocks,
-            pairs,
-            jnp.minimum(total, P),
-            tile=tile,
-            interpret=interpret,
-        )
+            pairs = jnp.stack([pair_flat // K, pair_flat % K])  # sentinel → (T, 0)
+            t_tile, tri_tile = pallas_sweep.sweep_pairs(
+                rays_tiles,
+                scene.cluster_blocks,
+                pairs,
+                jnp.minimum(total, P),
+                tile=tile,
+                interpret=interpret,
+            )
+            return t_tile, tri_tile, ovf
+
+        entry = pallas_cull.cull_tiles(
+            rays_tiles, closest_p.reshape(T, tile), aabb, interpret=interpret
+        )  # (T, K) slab entry, MISS_ENTRY where the tile can't hit
+        hit_thresh = jnp.float32(pallas_cull.MISS_ENTRY * 0.5)
+        mask = entry < hit_thresh
+
+        if not two_round or K <= ROUND1_NEAREST or ROUND1_NEAREST == 0:
+            # Small scenes / coherent or sparse wavefronts: one exact sweep
+            # of every culled pair (the two-round machinery costs two extra
+            # kernel launches + a pair extraction, which only the large
+            # incoherent early-bounce wavefronts repay).
+            t_tile, tri_tile, overflow = extract_and_sweep(mask.reshape(T * K))
+        else:
+            # Two-round front-to-back sweep. Round 1 sweeps only each
+            # tile's ROUND1_NEAREST nearest clusters by slab entry — for
+            # coherent tiles these almost always contain the closest hit.
+            # Round 2 re-culls with the per-ray tmax tightened to round 1's
+            # hits: a cluster whose slab window [0, t_best] misses cannot
+            # contain a closer hit (triangle hits lie within the box's
+            # [entry, exit]), so skipping it is exact. On teapot bounce-1
+            # rays this prunes the pair list ~2× vs a single full sweep.
+            nth = jnp.sort(entry, axis=1)[:, ROUND1_NEAREST - 1 : ROUND1_NEAREST]
+            sel1 = mask & (entry <= nth)
+            t1, tri1, ovf1 = extract_and_sweep(sel1.reshape(T * K))
+
+            window2 = jnp.minimum(closest_p.reshape(T, tile), t1[:T])
+            entry2 = pallas_cull.cull_tiles(
+                rays_tiles, window2, aabb, interpret=interpret
+            )
+            sel2 = (entry2 < hit_thresh) & ~sel1
+            t2, tri2, ovf2 = extract_and_sweep(sel2.reshape(T * K))
+
+            # Merge with the sweep kernel's tie rule (larger tri id wins).
+            upd = (t2 < t1) | ((t2 == t1) & (tri2 > tri1))
+            t_tile = jnp.where(upd, t2, t1)
+            tri_tile = jnp.where(upd, tri2, tri1)
+            overflow = ovf1 + ovf2
+
         cutoff = jnp.where(overflow > 0, -jnp.inf, jnp.inf)  # all-or-nothing
         cutoff = jnp.broadcast_to(cutoff, (T,))
         return _finalize(

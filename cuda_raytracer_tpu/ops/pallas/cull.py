@@ -25,11 +25,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Entry value for (tile, cluster) pairs no ray in the tile can hit.
+MISS_ENTRY = 1e30
 
-def _cull_kernel(rays_ref, window_ref, aabb_ref, mask_ref):
+
+def _cull_kernel(rays_ref, window_ref, aabb_ref, entry_ref):
     """rays (1, 8, L): rows [o xyz, d xyz, -, -], lanes padded to L >= tile;
     window (1, 1, tile) tmax; aabb (8, K): rows [min xyz, max xyz, -, -];
-    out mask (1, 1, K)."""
+    out entry (1, 1, K) — min slab entry over the tile's rays, 1e30 where
+    no ray hits the box (a hit mask is `entry < MISS_ENTRY`)."""
     tile = window_ref.shape[2]
     K = aabb_ref.shape[1]
     raysT = rays_ref[0][:, :tile].T  # (tile, 8)
@@ -54,8 +58,9 @@ def _cull_kernel(rays_ref, window_ref, aabb_ref, mask_ref):
         t2 = (hi - o) * inv
         tmin_run = jnp.minimum(jnp.maximum(t1, tmin_run), jnp.maximum(t2, tmin_run))
         tmax_run = jnp.maximum(jnp.minimum(t1, tmax_run), jnp.minimum(t2, tmax_run))
-    hit = (tmin_run <= tmax_run).astype(jnp.float32)  # (tile, K)
-    mask_ref[0] = jnp.max(hit, axis=0, keepdims=True)
+    hit = tmin_run <= tmax_run  # (tile, K)
+    entry = jnp.where(hit, tmin_run, jnp.float32(MISS_ENTRY))
+    entry_ref[0] = jnp.min(entry, axis=0, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -65,11 +70,13 @@ def cull_tiles(
     aabb: jnp.ndarray,  # (8, K) f32 — rows [min xyz, max xyz, 0, 0]
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """→ (T, K) f32 0/1 tile×cluster hit mask."""
+    """→ (T, K) f32 tile×cluster slab entry distance (min over the tile's
+    rays); MISS_ENTRY where no ray hits, so a hit mask is
+    ``cull_tiles(...) < MISS_ENTRY``."""
     T, tile = window.shape
     lanes = rays_tiles.shape[2]
     K = aabb.shape[1]
-    mask = pl.pallas_call(
+    entry = pl.pallas_call(
         _cull_kernel,
         grid=(T,),
         in_specs=[
@@ -81,4 +88,4 @@ def cull_tiles(
         out_shape=jax.ShapeDtypeStruct((T, 1, K), jnp.float32),
         interpret=interpret,
     )(rays_tiles, window.reshape(T, 1, tile), aabb)
-    return mask.reshape(T, K)
+    return entry.reshape(T, K)

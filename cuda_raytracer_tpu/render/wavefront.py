@@ -44,6 +44,10 @@ from cuda_raytracer_tpu.ops import envmap, intersect, morton, rng, traverse, vec
 # Per-(ray, bounce) seeding constants, raytracing.cu:89. The scalar seed is
 # `pass_seed * 20 + bounce` exactly like the reference's
 # `remaining_rays * MAX_RAYS_PER_PIXEL_PER_PASS + i` (raytracing.cu:236).
+# Bounces whose closest-hit uses the packet path's two-round sweep (the
+# wavefront is still large there but has lost primary-ray coherence).
+TWO_ROUND_BOUNCES = (1, 2)
+
 _BOUNCE_RAY_MULT = np.uint32(4137874753)
 _BOUNCE_SEED_MULT = np.uint32(279220567)
 _PASS_STRIDE = np.uint32(20)
@@ -73,6 +77,7 @@ def closest_hit(
     origin: jnp.ndarray,
     direction: jnp.ndarray,
     alive: jnp.ndarray = None,
+    two_round: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Nearest hit over spheres (brute force) then triangles (BVH, or a brute
     (rays x tris) tile when the scene is small enough that a tree walk is
@@ -114,6 +119,7 @@ def closest_hit(
             tile=scene.config.packet_tile,
             cap=min(scene.config.packet_cap, scene.num_clusters),
             backend=backend,
+            two_round=two_round,
         )
         return t, index
     if mode == "clustered":
@@ -237,11 +243,16 @@ def process_rays(
 
     # The closest-hit search is always detached (discrete, and the BVH walk's
     # while-loop is not differentiable); reparam mode re-derives a smooth t.
+    # Early post-primary bounces carry a large, direction-incoherent
+    # wavefront — there the packet path's two-round front-to-back sweep
+    # prunes the pair list ~2×; elsewhere its fixed overhead loses.
+    two_round = isinstance(bounce, int) and bounce in TWO_ROUND_BOUNCES
     t, hit_index = closest_hit(
         scene,
         jax.lax.stop_gradient(state.origin),
         jax.lax.stop_gradient(state.direction),
         alive,
+        two_round=two_round,
     )
     t = jax.lax.stop_gradient(t)
     hit_index = jax.lax.stop_gradient(hit_index)
