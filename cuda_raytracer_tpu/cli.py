@@ -14,6 +14,12 @@ output path, multi-device mesh).
 
 Divergence from quirk Q6: when both backends render, the reference stacks
 both images in one PNG; we write ``<out>`` and ``<out>.cpu.png`` separately.
+
+Divergence from quirk Q9 (deliberate): the reference applies bloom only on
+its GPU branch (raytracing.cu:356-392 — the CPU image is written raw), an
+artifact of where the post kernels live, not a design choice. Here both
+backends share one post chain, so ``cpu`` renders get bloom too; pass
+``--no-bloom`` for the reference's raw-CPU behaviour.
 """
 
 from __future__ import annotations

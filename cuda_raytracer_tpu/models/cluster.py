@@ -121,6 +121,14 @@ def pack_cluster_blocks(
       slot_to_tri (K*C,) int32 — permuted triangle index per slot, -1 pad.
     """
     K, C = clusters.num_clusters, clusters.max_tris
+    # Row 9 carries triangle ids as float32, exact only below 2^24; beyond
+    # that, hit ids (hence materials/normals) would corrupt silently.
+    if tri_p1.shape[0] >= 1 << 24:
+        raise ValueError(
+            f"{tri_p1.shape[0]} triangles exceeds the float32-exact id range "
+            "(2^24) of the packed cluster blocks; shard the scene or widen "
+            "the id row to a float64 pair."
+        )
     blocks = np.zeros((K, 16, C), np.float32)
     slot_to_tri = np.full(K * C, -1, np.int32)
     # Padding slots get a far-away degenerate triangle: zero edges give a

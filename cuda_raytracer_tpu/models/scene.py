@@ -91,10 +91,8 @@ class RenderConfig:
     sort_depth: int = dataclasses.field(metadata=dict(static=True), default=4)
     # Triangle intersector: "auto" (brute for small scenes, packet
     # otherwise), "brute", "packet" (ray-tile clustered — the fast path),
-    # "clustered" (per-ray), or "bvh" (lockstep stack traversal).
+    # or "bvh" (lockstep stack traversal).
     intersector: str = dataclasses.field(metadata=dict(static=True), default="auto")
-    # Max hit clusters considered per ray in the clustered intersector.
-    cluster_h: int = dataclasses.field(metadata=dict(static=True), default=32)
     # Packet intersector: rays per tile and per-tile hit-cluster capacity.
     packet_tile: int = dataclasses.field(metadata=dict(static=True), default=128)
     packet_cap: int = dataclasses.field(metadata=dict(static=True), default=32)

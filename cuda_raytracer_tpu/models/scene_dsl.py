@@ -94,20 +94,63 @@ def _default_material() -> Dict[str, np.ndarray]:
     )
 
 
+class SceneParseError(ValueError):
+    """Scene-DSL error with file:line context.
+
+    The reference fails with an uncontextualised exception (unknown materials
+    throw from ``materials_map.at``, scene.cu:701; malformed numbers crash in
+    ``std::stof``); SURVEY §5.3 asks this build to do better: every parse
+    failure names the file, line number, and offending line."""
+
+
 def parse_scene_text(
-    text: str, base_dir: str = ".", allow_substitute_assets: bool = True
+    text: str,
+    base_dir: str = ".",
+    allow_substitute_assets: bool = True,
+    filename: str = "<scene>",
 ) -> ParsedScene:
     """Parse the DSL. ``base_dir`` resolves relative ply/sky_map paths the way
-    the reference resolves them against the working directory."""
+    the reference resolves them against the working directory. Malformed
+    commands raise SceneParseError with ``filename``:line diagnostics."""
     scene = ParsedScene()
     material_ids: Dict[str, int] = {}
+
+    def _material_id(name: str, line_no: int, line: str) -> int:
+        try:
+            return material_ids[name]
+        except KeyError:
+            known = ", ".join(sorted(material_ids)) or "<none defined yet>"
+            raise SceneParseError(
+                f"{filename}:{line_no}: unknown material {name!r} in "
+                f"{line.strip()!r} (materials defined so far: {known})"
+            ) from None
 
     for line_no, raw_line in enumerate(text.splitlines(), start=1):
         tokens = raw_line.split()
         if not tokens:
             continue
         command, args = tokens[0], tokens[1:]
+        try:
+            _dispatch_line(
+                scene, material_ids, _material_id, command, args,
+                line_no, raw_line, base_dir, allow_substitute_assets,
+            )
+        except SceneParseError:
+            raise
+        except FileNotFoundError:
+            raise
+        except (ValueError, IndexError, KeyError) as exc:
+            raise SceneParseError(
+                f"{filename}:{line_no}: malformed {command!r} command in "
+                f"{raw_line.strip()!r} ({type(exc).__name__}: {exc})"
+            ) from exc
+    return scene
 
+
+def _dispatch_line(
+    scene, material_ids, _material_id, command, args,
+    line_no, raw_line, base_dir, allow_substitute_assets,
+):
         if command == "sky":
             rgb = np.array([float(v) for v in args[:3]], np.float32)
             scene.environment_map = rgb.reshape(1, 1, 3)
@@ -164,19 +207,25 @@ def parse_scene_text(
             scene.material_names.append(name)
             scene.materials.append(material)
         elif command == "sphere":
-            scene.sphere_material.append(material_ids[args[0]])
+            scene.sphere_material.append(_material_id(args[0], line_no, raw_line))
             vals = [float(v) for v in args[1:5]]
+            if len(vals) != 4:
+                raise ValueError("sphere needs <material> cx cy cz radius")
             scene.sphere_center.append(np.array(vals[:3], np.float32))
             scene.sphere_radius.append(vals[3])
         elif command == "triangle":
-            scene.tri_material.append(material_ids[args[0]])
+            scene.tri_material.append(_material_id(args[0], line_no, raw_line))
             vals = np.array([float(v) for v in args[1:10]], np.float32)
+            if vals.shape[0] != 9:
+                raise ValueError("triangle needs <material> + 9 coordinates")
             scene.tri_p1.append(vals[0:3])
             scene.tri_p2.append(vals[3:6])
             scene.tri_p3.append(vals[6:9])
         elif command == "quad":
-            mat = material_ids[args[0]]
+            mat = _material_id(args[0], line_no, raw_line)
             vals = np.array([float(v) for v in args[1:13]], np.float32)
+            if vals.shape[0] != 12:
+                raise ValueError("quad needs <material> + 12 coordinates")
             p = [vals[j : j + 3] for j in range(0, 12, 3)]
             for a, b, c in ((0, 1, 2), (0, 2, 3)):
                 scene.tri_material.append(mat)
@@ -184,7 +233,7 @@ def parse_scene_text(
                 scene.tri_p2.append(p[b])
                 scene.tri_p3.append(p[c])
         elif command == "ply":
-            mat = material_ids[args[0]]
+            mat = _material_id(args[0], line_no, raw_line)
             path = os.path.join(base_dir, args[1])
             if not os.path.exists(path):
                 if allow_substitute_assets:
@@ -192,7 +241,7 @@ def parse_scene_text(
                         f"ply {args[1]!r} not found; skipping (reference "
                         "checkout is missing this blob)"
                     )
-                    continue
+                    return
                 raise FileNotFoundError(path)
             p1, p2, p3 = ply.load_ply(path)
             scene.tri_p1.extend(p1)
@@ -207,7 +256,6 @@ def parse_scene_text(
             scene.exposure = float(args[4])
         # Unknown commands fall through silently, matching the reference's
         # if/else-if chain.
-    return scene
 
 
 def assemble_scene(
@@ -364,7 +412,7 @@ def load_scene(
         text = f.read()
     if base_dir is None:
         base_dir = os.path.dirname(os.path.abspath(path))
-    parsed = parse_scene_text(text, base_dir=base_dir)
+    parsed = parse_scene_text(text, base_dir=base_dir, filename=path)
     return assemble_scene(
         parsed,
         use_bvh=use_bvh,

@@ -1,9 +1,9 @@
 """Packet (ray-tile) clustered closest-hit — the fast path.
 
-The per-ray clustered intersector (ops/cluster_intersect.py) spends ~90% of
-each bounce on pair machinery: a per-ray top-k, a sort of R·H ray-cluster
-pairs, and large scatters (measured on TPU v5e: 10.8 + 12.7 + 28.7 + ~24 ms
-of an 83 ms bounce at R=131k on teapot, vs ~7 ms of actual intersection).
+A per-ray clustered intersector (round 1; since removed) spent ~90% of each
+bounce on pair machinery: a per-ray top-k, a sort of R·H ray-cluster pairs,
+and large scatters (measured on TPU v5e: 10.8 + 12.7 + 28.7 + ~24 ms of an
+83 ms bounce at R=131k on teapot, vs ~7 ms of actual intersection).
 Exploiting ray coherence at *tile* granularity removes all of it:
 
   A. cull   — slab-test rays against all K cluster AABBs, reducing each
@@ -220,15 +220,14 @@ def closest_hit_packet(
             ovf = jnp.maximum(total - P, 0)
             dest = jnp.where(sel_flat & (dest < P), dest, P)
             dest = jax.lax.optimization_barrier(dest)
+            # No sortedness/uniqueness hints: the dropped sentinels (dest=P)
+            # interleave among the increasing kept destinations, so the
+            # promise would be false — implementation-defined per XLA scatter
+            # semantics (it happened to work on the current TPU toolchain).
             pair_flat = (
                 jnp.full((P,), T * K, jnp.int32)
                 .at[dest]
-                .set(
-                    jnp.arange(T * K, dtype=jnp.int32),
-                    mode="drop",
-                    unique_indices=True,
-                    indices_are_sorted=True,
-                )
+                .set(jnp.arange(T * K, dtype=jnp.int32), mode="drop")
             )
             pairs = jnp.stack([pair_flat // K, pair_flat % K])  # sentinel → (T, 0)
             t_tile, tri_tile = pallas_sweep.sweep_pairs(
@@ -343,15 +342,12 @@ def closest_hit_packet(
     # Sentinel entries (past `total`) decode to (tile=T, cluster=0): the
     # Pallas sweep folds their (guaranteed-miss: zero dummy ray tile) output
     # into a dummy row; the XLA sweep never reaches them (dynamic trip).
+    # No sortedness/uniqueness hints (see extract_and_sweep above): dropped
+    # sentinels interleave among the kept destinations.
     pair_flat = (
         jnp.full((P,), T * K, jnp.int32)
         .at[dest]
-        .set(
-            jnp.arange(T * K, dtype=jnp.int32),
-            mode="drop",
-            unique_indices=True,
-            indices_are_sorted=True,
-        )
+        .set(jnp.arange(T * K, dtype=jnp.int32), mode="drop")
     )
     pair_slot = (
         jnp.full((P,), T * cap, jnp.int32)
@@ -360,8 +356,6 @@ def closest_hit_packet(
             (jnp.repeat(jnp.arange(T, dtype=jnp.int32), K) * cap
              + jnp.minimum(rank.reshape(T * K), cap - 1).astype(jnp.int32)),
             mode="drop",
-            unique_indices=True,
-            indices_are_sorted=True,
         )
     )
     pair_tile = pair_flat // K

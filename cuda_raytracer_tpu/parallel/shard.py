@@ -47,8 +47,10 @@ def _trace_block(
     bounces: int,
     sort_rays: bool,
     reparam: bool,
-) -> jnp.ndarray:
-    """Trace one device's ray block → full-size local framebuffer."""
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Trace one device's ray block → (full-size local framebuffer, local
+    suspect count). Accumulation is a segment_sum over stable ray ids, so it
+    is invariant to any physical reordering the wavefront applied."""
     valid = ray_id < total_rays
     ray_id_safe = jnp.where(valid, ray_id, 0)
     state = wavefront.make_initial_state(scene, ray_id_safe, rays_per_pixel, pass_seed)
@@ -56,14 +58,15 @@ def _trace_block(
     state = state._replace(
         transmitted=state.transmitted * valid[:, None].astype(jnp.float32)
     )
-    state = wavefront.trace_wavefront(
+    state, suspect = wavefront.trace_wavefront(
         scene, state, pass_seed, bounces, sort_rays, reparam=reparam
     )
-    return jax.ops.segment_sum(
+    local = jax.ops.segment_sum(
         state.collected,
         state.ray_id // rays_per_pixel,
         num_segments=scene.num_pixels,
     )
+    return local, suspect
 
 
 def render_pass_sharded(
@@ -74,9 +77,10 @@ def render_pass_sharded(
     bounces: Optional[int] = None,
     sort_rays: Optional[bool] = None,
     reparam: bool = False,
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One pass over every pixel, rays sharded across the mesh. Returns the
-    replicated raw-sum framebuffer (pixels, 3)."""
+    replicated (raw-sum framebuffer (pixels, 3), suspect-ray count) — the
+    suspect count is psum'd over the mesh like the framebuffer."""
     cfg = scene.config
     bounces = cfg.bounces if bounces is None else bounces
     sort_rays = cfg.sort_rays if sort_rays is None else sort_rays
@@ -86,7 +90,7 @@ def render_pass_sharded(
     ray_id = jnp.arange(padded, dtype=jnp.int32)
 
     def block_fn(scene_block, ray_id_block, seed):
-        local = _trace_block(
+        local, suspect = _trace_block(
             scene_block,
             ray_id_block,
             total_rays,
@@ -96,13 +100,13 @@ def render_pass_sharded(
             sort_rays,
             reparam,
         )
-        return jax.lax.psum(local, RAY_AXIS)
+        return jax.lax.psum(local, RAY_AXIS), jax.lax.psum(suspect, RAY_AXIS)
 
     sharded = shard_map(
         block_fn,
         mesh=mesh,
         in_specs=(P(), P(RAY_AXIS), P()),
-        out_specs=P(),
+        out_specs=(P(), P()),
     )
     return sharded(scene, ray_id, jnp.asarray([pass_seed], jnp.uint32))
 
@@ -119,7 +123,7 @@ def _render_pass_sharded_jit(
     bounces: int,
     sort_rays: bool,
     reparam: bool = False,
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return render_pass_sharded(
         scene, mesh, rays_per_pixel, pass_seed, bounces, sort_rays, reparam
     )
@@ -127,20 +131,31 @@ def _render_pass_sharded_jit(
 
 def render_framebuffer_sharded(scene: Scene, mesh: Mesh) -> jnp.ndarray:
     """Full multi-pass sharded render (the distributed form of
-    render/pipeline.render_framebuffer)."""
+    render/pipeline.render_framebuffer). Enforces the closest-hit exactness
+    certificate after the pass loop, like the single-device pipeline."""
     cfg = scene.config
     framebuffer = jnp.zeros((scene.num_pixels, 3), jnp.float32)
+    suspect_total = jnp.zeros((), jnp.int32)
     remaining = cfg.rays_per_pixel
     while remaining:
         chunk = min(remaining, cfg.max_rays_per_pixel_per_pass)
         remaining -= chunk
-        framebuffer = framebuffer + _render_pass_sharded_jit(
+        contribution, suspect = _render_pass_sharded_jit(
             scene,
             mesh,
             chunk,
             jnp.uint32(remaining),
             cfg.bounces,
             cfg.sort_rays,
+        )
+        framebuffer = framebuffer + contribution
+        suspect_total = suspect_total + suspect
+    suspects = int(suspect_total)
+    if suspects:
+        raise RuntimeError(
+            f"closest-hit exactness certificate failed: {suspects} suspect "
+            "ray-bounces (packet pair-budget overflow); raise "
+            "RenderConfig.packet_cap."
         )
     return framebuffer
 
@@ -157,11 +172,15 @@ def sharded_loss(
 ) -> jnp.ndarray:
     """L2 inverse-rendering loss on the psum'd framebuffer. Differentiating
     this through shard_map yields replicated parameter gradients — the
-    cross-device grad all-reduce falls out of the psum's VJP."""
+    cross-device grad all-reduce falls out of the psum's VJP.
+
+    sort_rays follows the scene config so sharded training exercises the same
+    Morton reorder/unsort path the single-chip pipeline is tuned on (the
+    per-device accumulation is a ray-id segment_sum, reorder-invariant)."""
     scene = merge_params(scene, params)
-    framebuffer = render_pass_sharded(
+    framebuffer, _suspect = render_pass_sharded(
         scene, mesh, rays_per_pixel, pass_seed,
-        bounces=bounces, sort_rays=False, reparam=reparam,
+        bounces=bounces, sort_rays=None, reparam=reparam,
     )
     radiance = framebuffer / rays_per_pixel
     return jnp.mean((radiance - target) ** 2)
@@ -208,8 +227,8 @@ def scaling_report(
     ):
         fn = lambda: _render_pass_sharded_jit(
             scene, sub_mesh, rays_per_pixel, jnp.uint32(0),
-            scene.config.bounces, False,
-        ).block_until_ready()
+            scene.config.bounces, scene.config.sort_rays,
+        )[0].block_until_ready()
         fn()  # compile
         start = time.perf_counter()
         for _ in range(repeats):

@@ -81,7 +81,11 @@ def render_radiance(
     pixels = scene.num_pixels
     ray_id = jnp.arange(pixels * rays_per_pixel, dtype=jnp.int32)
     state = wavefront.make_initial_state(scene, ray_id, rays_per_pixel, pass_seed)
-    state = wavefront.trace_wavefront(
+    # The exactness certificate is not enforced per training step (it would
+    # force a host sync inside the jitted loss); parity renders enforce it in
+    # pipeline.render_framebuffer. Use check_radiance_exact() to audit a
+    # training configuration once up front.
+    state, _suspect = wavefront.trace_wavefront(
         scene, state, pass_seed, bounces, sort_rays, reparam=reparam
     )
     acc = wavefront.accumulate_radiance(
@@ -89,6 +93,31 @@ def render_radiance(
         ordered=wavefront.wavefront_ordered(scene, sort_rays, bounces),
     )
     return acc / rays_per_pixel
+
+
+def check_radiance_exact(
+    scene: Scene,
+    pass_seed=0,
+    rays_per_pixel: int = None,
+    bounces: int = None,
+) -> int:
+    """One-shot audit of a training configuration's closest-hit exactness.
+
+    Traces one full pass at the given settings and returns the suspect-ray
+    count (packet pair-budget overflow; 0 == every intersection certified
+    exact). Run once before a long training job — the jitted loss itself
+    skips the check to avoid a per-step host sync."""
+    cfg = scene.config
+    rays_per_pixel = rays_per_pixel or cfg.rays_per_pixel
+    bounces = bounces or cfg.bounces
+    ray_id = jnp.arange(scene.num_pixels * rays_per_pixel, dtype=jnp.int32)
+    state = wavefront.make_initial_state(
+        scene, ray_id, rays_per_pixel, jnp.uint32(pass_seed)
+    )
+    _, suspect = wavefront.trace_wavefront(
+        scene, state, jnp.uint32(pass_seed), bounces, cfg.sort_rays
+    )
+    return int(suspect)
 
 
 def loss_against_target(

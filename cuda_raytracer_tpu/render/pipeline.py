@@ -41,20 +41,25 @@ def render_pass(
     bounces: int,
     sort_rays: bool,
     reparam: bool = False,
-) -> jnp.ndarray:
+) -> tuple:
     """Trace one pass of ``rays_per_pixel`` samples for every pixel and
-    accumulate into the framebuffer."""
+    accumulate into the framebuffer.
+
+    Returns (framebuffer, suspect): ``suspect`` is the pass's closest-hit
+    exactness certificate (wavefront.trace_wavefront) — the number of rays
+    whose intersection result could not be certified exact (packet-intersector
+    pair-budget overflow). render_framebuffer fails loudly on nonzero."""
     pixels = framebuffer.shape[0]
     ray_id = jnp.arange(pixels * rays_per_pixel, dtype=jnp.int32)
     state = wavefront.make_initial_state(scene, ray_id, rays_per_pixel, pass_seed)
-    state = wavefront.trace_wavefront(
+    state, suspect = wavefront.trace_wavefront(
         scene, state, pass_seed, bounces, sort_rays, reparam=reparam
     )
     contribution = wavefront.accumulate_radiance(
         state, rays_per_pixel, pixels,
         ordered=wavefront.wavefront_ordered(scene, sort_rays, bounces),
     )
-    return framebuffer + contribution
+    return framebuffer + contribution, suspect
 
 
 def render_framebuffer(
@@ -87,10 +92,11 @@ def render_framebuffer(
             remaining = cfg.rays_per_pixel - samples_done
 
     passes_done = 0
+    suspect_total = jnp.zeros((), jnp.int32)
     while remaining:
         chunk = min(remaining, cfg.max_rays_per_pixel_per_pass)
         remaining -= chunk
-        framebuffer = render_pass(
+        framebuffer, suspect = render_pass(
             scene,
             framebuffer,
             jnp.uint32(remaining),
@@ -98,6 +104,7 @@ def render_framebuffer(
             bounces=cfg.bounces,
             sort_rays=cfg.sort_rays,
         )
+        suspect_total = suspect_total + suspect
         passes_done += 1
         if checkpoint_path is not None and (
             passes_done % checkpoint_every == 0 or not remaining
@@ -114,6 +121,21 @@ def render_framebuffer(
         if progress is not None:
             framebuffer.block_until_ready()
             progress(cfg.rays_per_pixel - remaining, cfg.rays_per_pixel)
+    # Enforce the exactness certificate once, after the pass loop (a single
+    # device sync instead of one per pass). A nonzero count means some rays'
+    # closest hits may have been silently dropped by a packet-intersector
+    # pair-budget overflow — fail loudly like the reference's CUDA_CHECK
+    # (common.cuh:10-18) instead of shipping a subtly wrong image.
+    suspects = int(suspect_total)
+    if metrics is not None:
+        metrics.record("suspect_rays", suspects)
+    if suspects:
+        raise RuntimeError(
+            f"closest-hit exactness certificate failed: {suspects} suspect "
+            "ray-bounces (packet pair-budget overflow). Raise "
+            "RenderConfig.packet_cap (XLA backend) or lower cluster size to "
+            "shrink per-tile cluster unions (Pallas backend)."
+        )
     return framebuffer
 
 

@@ -78,22 +78,29 @@ def closest_hit(
     direction: jnp.ndarray,
     alive: jnp.ndarray = None,
     two_round: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Nearest hit over spheres (brute force) then triangles (BVH, or a brute
     (rays x tris) tile when the scene is small enough that a tree walk is
     slower than one dense VPU sweep). Dead rays enter traversal with
     ``closest = 0`` so their tree walk terminates immediately — the wavefront
-    analogue of the reference's early-out (scene.cu:322-328)."""
+    analogue of the reference's early-out (scene.cu:322-328).
+
+    Returns (t, index, suspect) where ``suspect`` is a scalar count of rays
+    whose result the packet intersector could not certify exact (pair-budget
+    overflow — see packet_intersect.closest_hit_packet). Zero means the hit
+    set is exact; render orchestration fails loudly on nonzero (the TPU
+    analogue of the reference's fail-fast CUDA_CHECK, common.cuh:10-18)."""
     t, index = intersect.intersect_spheres(
         origin, direction, scene.sphere_center, scene.sphere_radius
     )
+    exact = jnp.zeros((), jnp.int32)
     if alive is not None:
         # Dead rays enter the intersectors with a NEGATIVE search window:
         # the slab test (tmin >= 0 > tmax) then rejects every box, so they
         # generate no traversal work and no cluster pairs.
         t = jnp.where(alive, t, -1.0)
     if scene.triangle_count == 0:
-        return t, index
+        return t, index, exact
 
     # no_bvh note: with a single-leaf tree (scene.cu:820) the cluster cut
     # degenerates to same-AABB chunks, so resolved_intersector falls back
@@ -107,30 +114,23 @@ def closest_hit(
         better = t_tri < t
         t = jnp.where(better, t_tri, t)
         index = jnp.where(better, scene.sphere_count + i_tri, index)
-        return t, index
+        return t, index, exact
     if mode == "packet":
         from cuda_raytracer_tpu.ops import packet_intersect
 
         backend = scene.config.packet_backend
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-        t, index, _suspects = packet_intersect.closest_hit_packet(
+        t, index, suspects = packet_intersect.closest_hit_packet(
             scene, origin, direction, t, index,
             tile=scene.config.packet_tile,
             cap=min(scene.config.packet_cap, scene.num_clusters),
             backend=backend,
             two_round=two_round,
         )
-        return t, index
-    if mode == "clustered":
-        from cuda_raytracer_tpu.ops import cluster_intersect
-
-        t, index, _overflow = cluster_intersect.closest_hit_clustered(
-            scene, origin, direction, t, index,
-            h_budget=scene.config.cluster_h,
-        )
-        return t, index
-    return traverse.bvh_closest_hit(scene, origin, direction, t, index)
+        return t, index, suspects.astype(jnp.int32)
+    t, index = traverse.bvh_closest_hit(scene, origin, direction, t, index)
+    return t, index, exact
 
 
 def recompute_hit_distance(
@@ -236,9 +236,10 @@ def _safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
 
 def process_rays(
     scene: Scene, state: RayState, pass_seed, bounce, reparam: bool = False
-) -> RayState:
+) -> Tuple[RayState, jnp.ndarray]:
     """One bounce for the whole wavefront (reference Scene::process_ray,
-    scene.cu:320-487)."""
+    scene.cu:320-487). Returns (new_state, suspect) — ``suspect`` is the
+    closest-hit exactness certificate (see closest_hit)."""
     alive = jnp.any(state.transmitted != 0.0, axis=-1)
 
     # The closest-hit search is always detached (discrete, and the BVH walk's
@@ -247,7 +248,7 @@ def process_rays(
     # wavefront — there the packet path's two-round front-to-back sweep
     # prunes the pair list ~2×; elsewhere its fixed overhead loses.
     two_round = isinstance(bounce, int) and bounce in TWO_ROUND_BOUNCES
-    t, hit_index = closest_hit(
+    t, hit_index, suspect = closest_hit(
         scene,
         jax.lax.stop_gradient(state.origin),
         jax.lax.stop_gradient(state.direction),
@@ -366,7 +367,20 @@ def process_rays(
         specular_dir,
         jnp.where(is_dielectric[:, None], refract_dir, diffuse_dir),
     )
-    transmitted_hit = state.transmitted * tint
+    # Score-function (REINFORCE) gradient for the opaque metallicity coin:
+    # the branch decision itself stays detached, but scaling the continuing
+    # throughput by P(branch)/stop_grad(P(branch)) — identically 1 in value —
+    # injects ∂log P(branch)/∂metallicity into the backward pass, so the
+    # discrete specular/diffuse choice contributes its distributional
+    # gradient (E[f·∂log P]). Unbiased for metallicity in (0, 1) (at the
+    # boundaries the unsampled branch's term vanishes from the estimator);
+    # validated against many-sample finite differences in
+    # tests/test_diff.py::test_grad_metallicity. The weight is exactly 1.0
+    # in value (x/x), so forward renders and oracle parity are untouched.
+    p_taken = jnp.where(take_specular, metallicity, 1.0 - metallicity)
+    p_safe = jnp.maximum(jnp.where(is_dielectric, 1.0, p_taken), 1e-6)
+    score_w = p_safe / jax.lax.stop_gradient(p_safe)
+    transmitted_hit = state.transmitted * tint * score_w[:, None]
 
     # ---- Merge miss/hit, mask dead rays -----------------------------------
     update = alive
@@ -386,9 +400,10 @@ def process_rays(
     if not reparam:
         new_origin = jax.lax.stop_gradient(new_origin)
         new_direction = jax.lax.stop_gradient(new_direction)
-    return RayState(
+    new_state = RayState(
         new_origin, new_direction, new_transmitted, new_collected, state.ray_id
     )
+    return new_state, suspect
 
 
 def process_rays_tiled(
@@ -398,7 +413,7 @@ def process_rays_tiled(
     bounce,
     reparam: bool = False,
     tile_size: int = 1 << 18,
-) -> RayState:
+) -> Tuple[RayState, jnp.ndarray]:
     """process_rays over fixed-size ray tiles via ``lax.map``.
 
     Bounds the per-step working set (the (rays × prims) intersection tiles
@@ -426,10 +441,11 @@ def process_rays_tiled(
     tiled = RayState(
         *(leaf.reshape((tiles, tile_size) + leaf.shape[1:]) for leaf in state)
     )
-    out = jax.lax.map(tile_fn, tiled)
-    return RayState(
+    out, suspect = jax.lax.map(tile_fn, tiled)
+    state_out = RayState(
         *(leaf.reshape((tiles * tile_size,) + leaf.shape[2:])[:rays] for leaf in out)
     )
+    return state_out, jnp.sum(suspect)
 
 
 def resolved_intersector(scene: Scene) -> str:
@@ -530,7 +546,7 @@ def trace_wavefront(
     reparam: bool = False,
     checkpoint_bounces: bool = True,
     tile_size: int = 1 << 18,
-) -> RayState:
+) -> Tuple[RayState, jnp.ndarray]:
     """March the wavefront through ``bounces`` scatter events. The loop is a
     Python loop over a static bounce count (the per-bounce graphs differ only
     in the seed scalar; XLA shares code across iterations), with
@@ -539,13 +555,18 @@ def trace_wavefront(
     closest-hit results (t, hit index; ~5 bytes/ray/bounce), which are saved:
     they carry no gradient, so re-running the intersection during backward
     would be pure waste. Per-bounce work runs in ``tile_size``-ray tiles
-    (see process_rays_tiled)."""
+    (see process_rays_tiled).
+
+    Returns (state, suspect): ``suspect`` is the summed closest-hit exactness
+    certificate across all bounces — zero iff every intersection result is
+    certified exact (see closest_hit). Render orchestration fails loudly on
+    nonzero (pipeline.render_framebuffer)."""
 
     sort_rays = sort_rays and reorder_is_useful(scene)
     sort_depth = scene.config.sort_depth or bounces
 
     def one_bounce(state, bounce):
-        new_state = process_rays_tiled(
+        new_state, suspect = process_rays_tiled(
             scene, state, pass_seed, bounce, reparam=reparam, tile_size=tile_size
         )
         # Static per-bounce decision (the loop is unrolled): sort while the
@@ -553,7 +574,7 @@ def trace_wavefront(
         # reorder costs more than the coherence it buys.
         if sort_rays and bounce + 1 != bounces and bounce < sort_depth:
             new_state = reorder_rays(scene, new_state)
-        return new_state
+        return new_state, suspect
 
     policy = jax.checkpoint_policies.save_only_these_names(
         "hit_t", "hit_index", "hit_mat", "hit_geom_normal"
@@ -563,9 +584,11 @@ def trace_wavefront(
         if checkpoint_bounces
         else one_bounce
     )
+    suspect_total = jnp.zeros((), jnp.int32)
     for bounce in range(bounces):
-        state = step(state, bounce)
-    return state
+        state, suspect = step(state, bounce)
+        suspect_total = suspect_total + suspect
+    return state, suspect_total
 
 
 @jax.custom_vjp

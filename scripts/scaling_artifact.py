@@ -1,0 +1,60 @@
+"""Emit a SCALING.json artifact: scaling_report on the widest available mesh.
+
+On a multi-chip TPU host this measures real ICI scaling (the ≥85% efficiency
+acceptance metric, SURVEY §7.6). On this rig (one tunneled chip) it falls
+back to the 8-device virtual CPU mesh, which shares host cores — the numbers
+then validate the *harness*, not the hardware; the artifact records which
+mode produced them.
+
+Usage: python scripts/scaling_artifact.py [out.json]
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    # The device-count flag must be in place before ANY backend client is
+    # created (XLA parses it once); harmless when the TPU path is taken.
+    flag = "--xla_force_host_platform_device_count=8"
+    if flag not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " " + flag
+
+    import jax
+
+    mode = "tpu"
+    if jax.default_backend() != "tpu" or len(jax.devices()) < 2:
+        # Single-chip rig: virtual CPU mesh (harness validation only).
+        jax.config.update("jax_platforms", "cpu")
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+        mode = "virtual_cpu"
+
+    from cuda_raytracer_tpu.models.scene_dsl import load_scene
+    from cuda_raytracer_tpu.parallel import mesh as mesh_mod
+    from cuda_raytracer_tpu.parallel import shard
+
+    scene = load_scene(
+        "/root/reference/cornell.scene",
+        config_overrides=dict(width=64, height=64, rays_per_pixel=4, bounces=4),
+    )
+    mesh = mesh_mod.make_mesh()
+    report = shard.scaling_report(scene, mesh, rays_per_pixel=4, repeats=3)
+    out = {
+        "mode": mode,
+        "devices": int(mesh.devices.size),
+        "scene": "cornell 64x64x4spp 4 bounces",
+        **{k: float(v) for k, v in report.items()},
+    }
+    path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,9 +25,9 @@ def states_for(scene):
     R = scene.num_pixels * RPP
     ray_id = jnp.arange(R, dtype=jnp.int32)
     s0 = wavefront.make_initial_state(scene, ray_id, RPP, jnp.uint32(0))
-    s1 = wavefront.process_rays(scene, s0, jnp.uint32(0), 0)
+    s1, _ = wavefront.process_rays(scene, s0, jnp.uint32(0), 0)
     s1s = wavefront.reorder_rays(scene, s1)
-    s2 = wavefront.process_rays(scene, s1s, jnp.uint32(0), 1)
+    s2, _ = wavefront.process_rays(scene, s1s, jnp.uint32(0), 1)
     s2s = wavefront.reorder_rays(scene, s2)
     return {"primary": s0, "b1_sorted": s1s, "b2_sorted": s2s}
 

@@ -111,8 +111,9 @@ def test_checkpoint_resume_bit_identical(tmp_path):
     while remaining > 2:  # run first two passes only
         chunk = min(remaining, 2)
         remaining -= chunk
-        fb = render_pass(scene, fb, jnp.uint32(remaining), rays_per_pixel=chunk,
-                         bounces=2, sort_rays=True)
+        fb, _suspect = render_pass(scene, fb, jnp.uint32(remaining),
+                                   rays_per_pixel=chunk, bounces=2,
+                                   sort_rays=True)
     ckpt.save_checkpoint(path, np.asarray(fb), 4, fingerprint)
 
     resumed = np.asarray(

@@ -182,6 +182,42 @@ def test_grad_ior_reparam():
     )
 
 
+HALF_METAL_SPHERE = """
+material half diffuse 0 0 0 specular 1 1 1 metallicity 0.5
+sphere half 0 0 4 2
+sky 0.5 0.6 0.7
+camera position 0 0 -2 forward 0 0 1 up 0 1 0 fov 60
+image 1 1 2048 2 1
+"""
+
+
+def test_grad_metallicity():
+    """Score-function gradient for the discrete specular/diffuse coin.
+
+    The fixed-seed estimator is a step function of metallicity (each ray's
+    branch flips when its uniform draw crosses p), so finite differences only
+    approximate the distributional derivative with MANY samples and a wide
+    eps: 2048 rays through one pixel, eps=0.15, and a high-contrast material
+    (black diffuse vs white specular) so the branch difference dominates the
+    Monte-Carlo noise. The REINFORCE surrogate's autodiff gradient must land
+    on that average (measured: auto 0.568±0.007, fd 0.550±0.016 across
+    seeds)."""
+    scene = _scene(HALF_METAL_SPHERE)
+    params, _ = diff.split_params(scene)
+
+    def loss(p):
+        radiance = diff.render_radiance(p, scene, jnp.uint32(0), 2048, 2)
+        return jnp.sum(radiance)
+
+    auto = float(jax.grad(loss)(params).materials.metallicity[0])
+    eps = 0.15
+    plus = float(loss(_bump_material(params, "metallicity", 0, None, +eps)))
+    minus = float(loss(_bump_material(params, "metallicity", 0, None, -eps)))
+    fd = (plus - minus) / (2 * eps)
+    assert fd > 0.1  # going metallic brightens: specular white vs diffuse black
+    assert np.isclose(auto, fd, rtol=0.12, atol=5e-3), (auto, fd)
+
+
 def test_train_step_reduces_loss():
     import optax
 

@@ -122,6 +122,47 @@ def test_packet_pallas_backend_matches_xla():
     np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_p))
 
 
+def test_packet_two_round_matches_single_round():
+    """The front-to-back two-round sweep (round 1: nearest clusters; round 2:
+    tmax-tightened re-cull of the rest) must be exact — identical to the
+    single full sweep — on a many-cluster scene (pallas interpret backend)."""
+    scene = _scene_with_clusters(tri_count=3000, cluster_tris=64)
+    assert scene.num_clusters > packet_intersect.ROUND1_NEAREST
+    origin, direction = _random_rays(scene, 384)
+    t0 = jnp.full((384,), intersect.MISS)
+    i0 = jnp.full((384,), -1, jnp.int32)
+    cap = min(64, scene.num_clusters)
+    t_1, i_1, s_1 = packet_intersect.closest_hit_packet(
+        scene, origin, direction, t0, i0, cap=cap,
+        backend="pallas_interpret", two_round=False,
+    )
+    t_2, i_2, s_2 = packet_intersect.closest_hit_packet(
+        scene, origin, direction, t0, i0, cap=cap,
+        backend="pallas_interpret", two_round=True,
+    )
+    assert int(s_1) == int(s_2) == 0
+    np.testing.assert_array_equal(np.asarray(t_1), np.asarray(t_2))
+    np.testing.assert_array_equal(np.asarray(i_1), np.asarray(i_2))
+
+
+def test_render_fails_loudly_on_overflow():
+    """A pair-budget overflow during a real render must raise, not silently
+    corrupt the image (the reference's CUDA_CHECK ethos, common.cuh:10-18)."""
+    import dataclasses
+
+    from cuda_raytracer_tpu.render.pipeline import render_framebuffer
+
+    scene = _scene_with_clusters(tri_count=3000)
+    if scene.num_clusters < 3:
+        pytest.skip("needs several clusters")
+    tiny_cap = dataclasses.replace(
+        scene.config, packet_cap=1, intersector="packet", sort_rays=False
+    )
+    scene = scene.replace(config=tiny_cap)
+    with pytest.raises(RuntimeError, match="exactness certificate"):
+        render_framebuffer(scene)
+
+
 def test_packet_nearest_ranking_keeps_close_hits():
     """Even with a cap that drops clusters, kept clusters are the nearest —
     rays whose hit lies in the nearest cluster stay correct."""

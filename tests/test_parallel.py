@@ -102,6 +102,17 @@ def test_sharded_train_step_runs_and_learns(cornell, full_mesh):
     assert last < first
 
 
+def test_scaling_report_executes(cornell, full_mesh):
+    """The scaling-efficiency harness must run end-to-end on the virtual mesh
+    and report sane numbers. (Virtual CPU devices share host cores, so the
+    ≥85% efficiency acceptance bar applies to real-chip runs, not here —
+    scripts/scaling_artifact.py records those per round.)"""
+    report = shard.scaling_report(cornell, full_mesh, rays_per_pixel=2, repeats=1)
+    assert report["1dev"] > 0
+    assert report["8dev"] > 0
+    assert 0 < report["scaling_efficiency"]
+
+
 def test_mesh_helpers():
     m = mesh_mod.make_mesh()
     assert m.axis_names == ("rays",)

@@ -23,7 +23,8 @@ def _collected(scene, rpp, bounces, pass_seed=0, sort_rays=False):
     total = scene.config.width * scene.config.height * rpp
     ray_id = jnp.arange(total, dtype=jnp.int32)
     state = wavefront.make_initial_state(scene, ray_id, rpp, pass_seed)
-    state = wavefront.trace_wavefront(scene, state, pass_seed, bounces, sort_rays)
+    state, suspect = wavefront.trace_wavefront(scene, state, pass_seed, bounces, sort_rays)
+    assert int(suspect) == 0
     order = np.argsort(np.asarray(state.ray_id))
     return np.asarray(state.collected)[order]
 
@@ -109,7 +110,7 @@ def _collected_pass(scene, rpp, pass_seed):
     total = scene.config.width * scene.config.height * rpp
     ray_id = jnp.arange(total, dtype=jnp.int32)
     state = wavefront.make_initial_state(scene, ray_id, rpp, pass_seed)
-    state = wavefront.trace_wavefront(
+    state, _ = wavefront.trace_wavefront(
         scene, state, pass_seed, scene.config.bounces, scene.config.sort_rays
     )
     order = np.argsort(np.asarray(state.ray_id))

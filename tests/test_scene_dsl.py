@@ -107,3 +107,24 @@ def test_missing_ply_without_substitute_raises(tmp_path):
     text = "material m\nply m missing_mesh.ply\n"
     with pytest.raises(FileNotFoundError):
         parse_scene_text(text, base_dir=str(tmp_path), allow_substitute_assets=False)
+
+
+def test_unknown_material_error_has_file_and_line():
+    from cuda_raytracer_tpu.models.scene_dsl import SceneParseError
+
+    text = "material m\nsphere ghost 0 0 0 1\n"
+    with pytest.raises(SceneParseError, match=r"demo\.scene:2.*ghost.*m"):
+        parse_scene_text(text, filename="demo.scene")
+
+
+def test_malformed_command_error_has_file_and_line():
+    from cuda_raytracer_tpu.models.scene_dsl import SceneParseError
+
+    with pytest.raises(SceneParseError, match=r"demo\.scene:2.*sphere"):
+        parse_scene_text("material m\nsphere m 0 0 banana 1\n", filename="demo.scene")
+    with pytest.raises(SceneParseError, match=r":1.*triangle"):
+        parse_scene_text("triangle nope 0 0 0\n")
+    with pytest.raises(SceneParseError, match=r":1.*camera"):
+        parse_scene_text("camera position 0 0\n")
+    with pytest.raises(SceneParseError, match=r":2.*quad"):
+        parse_scene_text("material m\nquad m 0 0 0 1 1\n")
