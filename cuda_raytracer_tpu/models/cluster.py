@@ -28,11 +28,13 @@ import numpy as np
 
 from cuda_raytracer_tpu.models.bvh import BvhArrays
 
-# Swept on TPU v5e (teapot/lamp, 262k-ray tiles): larger clusters amortise
-# the pair machinery better until cull cost or H-overflow bites; 1024 is the
-# balanced default (teapot 0.11s vs 0.20s at 256 per tile; lamp needs the
-# full H=32 budget at this size).
-DEFAULT_CLUSTER_TRIS = 1024
+# Swept on TPU v5e (teapot, 131k-ray wavefronts, round 2): with the fused
+# walk+sweep kernel and batched MT, C=256 cuts triangle tests/ray ~5× vs
+# C=1024 (pair extraction no longer scales with T·K, so small clusters are
+# affordable); best fwd+bwd step 96 ms at C=256/tile=64 vs 119 ms at
+# C=1024/tile=128. C must be a multiple of 128 (lane alignment of the
+# (16, C) block DMAs).
+DEFAULT_CLUSTER_TRIS = 256
 
 
 @dataclasses.dataclass

@@ -93,11 +93,14 @@ class RenderConfig:
     # otherwise), "brute", "packet" (ray-tile clustered — the fast path),
     # or "bvh" (lockstep stack traversal).
     intersector: str = dataclasses.field(metadata=dict(static=True), default="auto")
-    # Packet intersector: rays per tile and per-tile hit-cluster capacity.
-    packet_tile: int = dataclasses.field(metadata=dict(static=True), default=128)
-    packet_cap: int = dataclasses.field(metadata=dict(static=True), default=32)
-    # Sweep engine for the packet intersector: "auto" picks the Pallas
-    # kernel on TPU and the XLA while_loop elsewhere.
+    # Packet intersector: rays per tile and per-tile hit-cluster capacity
+    # (tile 64 + cluster_tris 256 measured best on v5e with the fused
+    # kernel; the cap only bounds the XLA fallback's pair budget).
+    packet_tile: int = dataclasses.field(metadata=dict(static=True), default=64)
+    packet_cap: int = dataclasses.field(metadata=dict(static=True), default=64)
+    # Sweep engine for the packet intersector: "auto" picks the fused Pallas
+    # walk+sweep kernel on TPU and the XLA while_loop elsewhere. Explicit
+    # values: "xla", "pallas", "fused", plus "*_interpret" debug variants.
     packet_backend: str = dataclasses.field(metadata=dict(static=True), default="auto")
 
 
@@ -136,10 +139,12 @@ class Scene:
     bvh_child2: jnp.ndarray  # (N,) int32
 
     # Cluster cut of the BVH for dense TPU intersection (models/cluster.py):
-    # K cluster AABBs + uniform (K, 16, C) triangle blocks + slot→triangle map.
+    # K cluster AABBs + uniform triangle blocks + slot→triangle map. The
+    # blocks carry one extra degenerate dummy row (index K) that the fused
+    # closest-hit kernel's sentinel pairs read.
     cluster_min: jnp.ndarray  # (K, 3)
     cluster_max: jnp.ndarray  # (K, 3)
-    cluster_blocks: jnp.ndarray  # (K, 16, C)
+    cluster_blocks: jnp.ndarray  # (K + 1, 16, C)
     cluster_slot_tri: jnp.ndarray  # (K*C,) int32, -1 for padding slots
 
     environment_map: jnp.ndarray  # (H, W, 3) linear radiance

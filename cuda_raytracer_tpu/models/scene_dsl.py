@@ -354,6 +354,12 @@ def assemble_scene(
     cluster_blocks, slot_tri = cluster_mod.pack_cluster_blocks(
         clusters, p1.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32)
     )
+    # Append one degenerate dummy cluster (row K): the fused closest-hit
+    # kernel targets it with sentinel pairs (zero edges → MT det 0 → miss).
+    dummy = np.zeros((1,) + cluster_blocks.shape[1:], np.float32)
+    dummy[0, 0:3, :] = 1e17
+    dummy[0, 9, :] = -1.0
+    cluster_blocks = np.concatenate([cluster_blocks, dummy], axis=0)
 
     camera = precompute_camera(
         parsed.camera_position,

@@ -182,7 +182,7 @@ def closest_hit_packet(
         closest_p = closest
     T = Rp // tile
 
-    if backend in ("pallas", "pallas_interpret"):
+    if backend in ("pallas", "pallas_interpret", "fused", "fused_interpret"):
         # Pallas path: cull kernel (phase A) + cumsum pair extraction
         # (phase B, no cap/ranking — the sweep folds any number of pairs per
         # tile into its VMEM accumulators, so results are EXACT while the
@@ -191,17 +191,24 @@ def closest_hit_packet(
         from cuda_raytracer_tpu.ops.pallas import cull as pallas_cull
         from cuda_raytracer_tpu.ops.pallas import sweep as pallas_sweep
 
-        interpret = backend == "pallas_interpret"
-        rays_tiles = (
-            jnp.concatenate([origin, direction], axis=1)
-            .reshape(T, tile, 6)
-            .transpose(0, 2, 1)
-        )
-        # Pad to 8 sublane rows, plus one zero dummy ray tile (row T) that
-        # sentinel pairs read — zero directions make every MT test miss.
-        # The lane (ray) dim pads to 128 so DMA slices stay tile-aligned;
-        # kernels slice back to `tile` lanes (zero lanes would be dead rays).
-        rays_tiles = jnp.pad(rays_tiles, ((0, 1), (0, 2), (0, max(0, 128 - tile))))
+        interpret = backend in ("pallas_interpret", "fused_interpret")
+
+        def make_od8(window):
+            """Kernel ray layout: (T + 1, 8, L) component-row tiles
+            [ox oy oz dx dy dz tmax pad], built by stacking per-component
+            reshapes — no transpose op. The per-ray search window rides
+            row 6 so tightened-window re-culls need no extra operand; row T
+            is a zero dummy tile for sentinel pairs (zero directions ⇒
+            every MT test misses)."""
+            comps = [
+                origin[:, 0], origin[:, 1], origin[:, 2],
+                direction[:, 0], direction[:, 1], direction[:, 2],
+                window, jnp.zeros((Rp,), jnp.float32),
+            ]
+            od8 = jnp.stack([v.reshape(T, tile) for v in comps], axis=1)
+            return jnp.pad(od8, ((0, 1), (0, 0), (0, max(0, 128 - tile))))
+
+        od8 = make_od8(closest_p)
         aabb = jnp.concatenate(
             [
                 scene.cluster_min.T,
@@ -211,6 +218,36 @@ def closest_hit_packet(
             axis=0,
         )  # (8, K)
         P = T * cap
+
+        entry = pallas_cull.cull_tiles(od8, aabb, tile=tile, interpret=interpret)
+        # (T, K) slab entry, MISS_ENTRY where the tile can't hit
+        hit_thresh = jnp.float32(pallas_cull.MISS_ENTRY * 0.5)
+        mask = entry < hit_thresh
+
+        if backend in ("fused", "fused_interpret"):
+            # Fused walk+sweep kernel: pair extraction happens in-kernel on
+            # the scalar core (ops/pallas/fused.py) — no cumsum/scatter glue,
+            # no pair budget, EXACT by construction (overflow ≡ 0).
+            from cuda_raytracer_tpu.ops.pallas import fused as pallas_fused
+
+            meta, words = pallas_fused.pack_words(mask)
+            t_tile, tri_tile = pallas_fused.fused_closest_hit(
+                od8, scene.cluster_blocks, meta, words,
+                tile=tile, interpret=interpret,
+            )
+            cutoff = jnp.full((T,), jnp.inf)
+            return _finalize(
+                scene, t_tile[:T], tri_tile[:T], cutoff, closest, hit_index,
+                R, Rp, tile,
+            )
+
+        # Legacy sweep-kernel path keeps the tile-major ray layout.
+        rays_tiles = (
+            jnp.concatenate([origin, direction], axis=1)
+            .reshape(T, tile, 6)
+            .transpose(0, 2, 1)
+        )
+        rays_tiles = jnp.pad(rays_tiles, ((0, 1), (0, 2), (0, max(0, 128 - tile))))
 
         def extract_and_sweep(sel_flat):
             """(T·K,) bool pair selection → swept (t, tri) tile maps +
@@ -240,12 +277,6 @@ def closest_hit_packet(
             )
             return t_tile, tri_tile, ovf
 
-        entry = pallas_cull.cull_tiles(
-            rays_tiles, closest_p.reshape(T, tile), aabb, interpret=interpret
-        )  # (T, K) slab entry, MISS_ENTRY where the tile can't hit
-        hit_thresh = jnp.float32(pallas_cull.MISS_ENTRY * 0.5)
-        mask = entry < hit_thresh
-
         if not two_round or K <= ROUND1_NEAREST or ROUND1_NEAREST == 0:
             # Small scenes / coherent or sparse wavefronts: one exact sweep
             # of every culled pair (the two-round machinery costs two extra
@@ -267,7 +298,8 @@ def closest_hit_packet(
 
             window2 = jnp.minimum(closest_p.reshape(T, tile), t1[:T])
             entry2 = pallas_cull.cull_tiles(
-                rays_tiles, window2, aabb, interpret=interpret
+                make_od8(window2.reshape(Rp)), aabb, tile=tile,
+                interpret=interpret,
             )
             sel2 = (entry2 < hit_thresh) & ~sel1
             t2, tri2, ovf2 = extract_and_sweep(sel2.reshape(T * K))

@@ -57,11 +57,17 @@ def _mt_pair(rays: jnp.ndarray, blk: jnp.ndarray, tile: int, C: int):
     rays: (8, L) — rows [ox oy oz dx dy dz, -, -], lanes padded to L >= tile.
           Transposed once here to (tile, 8) so the per-component (tile, 1)
           slices broadcast against (1, C) block rows without a lane↔sublane
-          shuffle per component.
+          shuffle per component. (The fused kernel caches this transpose per
+          tile and calls _mt_pair_t directly — it costs ~0.4 µs, which
+          dominates small-C pair work.)
     blk:  (16, C)   — rows [p1 e1 e2 (xyz each), tri_id, ...]
     Returns (best_t (1, tile), best_tri (1, tile) float).
     Division-free sign-folded acceptance (see packet_intersect)."""
-    raysT = rays[:, :tile].T  # (tile, 8)
+    return _mt_pair_t(rays[:, :tile].T, blk, tile, C)
+
+
+def _mt_pair_t(raysT: jnp.ndarray, blk: jnp.ndarray, tile: int, C: int):
+    """_mt_pair with pre-transposed rays: raysT (tile, 8)."""
     ox = raysT[:, 0:1]
     oy = raysT[:, 1:2]
     oz = raysT[:, 2:3]

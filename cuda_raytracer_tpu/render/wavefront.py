@@ -120,7 +120,7 @@ def closest_hit(
 
         backend = scene.config.packet_backend
         if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+            backend = "fused" if jax.default_backend() == "tpu" else "xla"
         t, index, suspects = packet_intersect.closest_hit_packet(
             scene, origin, direction, t, index,
             tile=scene.config.packet_tile,

@@ -142,6 +142,7 @@ def test_no_packet_overflow_on_reference_scenes(scene_name):
     i0 = jnp.full((n,), -1, jnp.int32)
     _, _, suspects = packet_intersect.closest_hit_packet(
         scene, origin, direction, t0, i0,
+        tile=scene.config.packet_tile,
         cap=min(scene.config.packet_cap, scene.num_clusters),
     )
     assert int(suspects) == 0, f"{scene_name}: {int(suspects)} suspect rays"

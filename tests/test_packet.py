@@ -7,6 +7,7 @@ windows.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -120,6 +121,39 @@ def test_packet_pallas_backend_matches_xla():
     assert int(s_x) == int(s_p) == 0
     np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_p))
     np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_p))
+
+
+def test_packet_fused_backend_matches_xla():
+    """The fused walk+sweep kernel (interpret mode on CPU) must agree with
+    the XLA path bit-for-bit — same MT arithmetic, same tie-break — through
+    both its variants: VMEM-resident blocks and the DMA-wave fallback."""
+    from cuda_raytracer_tpu.ops.pallas import fused as pallas_fused
+
+    scene = _scene_with_clusters(tri_count=3000, cluster_tris=128)
+    origin, direction = _random_rays(scene, 333)
+    t0 = jnp.full((333,), intersect.MISS)
+    i0 = jnp.full((333,), -1, jnp.int32)
+    cap = min(64, scene.num_clusters)
+    t_x, i_x, s_x = packet_intersect.closest_hit_packet(
+        scene, origin, direction, t0, i0, cap=cap
+    )
+    for tile, resident_bytes in ((32, None), (128, None), (64, 0)):
+        old = pallas_fused.RESIDENT_BYTES
+        if resident_bytes is not None:
+            pallas_fused.RESIDENT_BYTES = resident_bytes  # force wave variant
+        try:
+            jax.clear_caches()
+            t_f, i_f, s_f = packet_intersect.closest_hit_packet(
+                scene, origin, direction, t0, i0, cap=cap, tile=tile,
+                backend="fused_interpret",
+            )
+        finally:
+            pallas_fused.RESIDENT_BYTES = old
+            # restore jit caches polluted by the monkeypatched constant
+            jax.clear_caches()
+        assert int(s_x) == int(s_f) == 0
+        np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_f))
+        np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_f))
 
 
 def test_packet_two_round_matches_single_round():
