@@ -68,6 +68,7 @@ def render_framebuffer(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 1,
     metrics=None,
+    auto_retry: bool = True,
 ) -> jnp.ndarray:
     """Full multi-pass render → raw accumulated (pixels, 3) framebuffer.
     Matches the reference pass loop (raytracing.cu:222-254): chunks of ≤20
@@ -76,7 +77,13 @@ def render_framebuffer(
     With ``checkpoint_path``, resumes from a matching checkpoint and persists
     at every ``checkpoint_every``-th pass boundary; because pass seeds derive
     from the remaining-sample count, a resumed render is bit-identical to an
-    uninterrupted one (SURVEY §5.4)."""
+    uninterrupted one (SURVEY §5.4).
+
+    If the closest-hit exactness certificate fires (XLA-backend pair-budget
+    overflow — typically tiny renders whose ray tiles span large image
+    areas), the render is redone from scratch with a doubled packet cap
+    (up to the exact uncapped budget) rather than shipping a possibly-wrong
+    image; ``auto_retry=False`` raises instead."""
     from cuda_raytracer_tpu.utils import checkpoint as ckpt
 
     cfg = scene.config
@@ -130,6 +137,23 @@ def render_framebuffer(
     if metrics is not None:
         metrics.record("suspect_rays", suspects)
     if suspects:
+        import dataclasses
+        import warnings
+
+        cap = cfg.packet_cap
+        if auto_retry and cap < scene.num_clusters:
+            new_cap = min(max(cap * 2, 8), scene.num_clusters)
+            warnings.warn(
+                f"closest-hit certificate flagged {suspects} suspect "
+                f"ray-bounces; re-rendering with packet_cap {cap} → {new_cap}"
+            )
+            retry = scene.replace(
+                config=dataclasses.replace(cfg, packet_cap=new_cap)
+            )
+            return render_framebuffer(
+                retry, progress=progress, checkpoint_path=checkpoint_path,
+                checkpoint_every=checkpoint_every, metrics=metrics,
+            )
         raise RuntimeError(
             f"closest-hit exactness certificate failed: {suspects} suspect "
             "ray-bounces (packet pair-budget overflow). Raise "

@@ -448,6 +448,98 @@ def process_rays_tiled(
     return state_out, jnp.sum(suspect)
 
 
+# Static prefix sizes for live-prefix processing (dead-ray compaction), as
+# divisors of the wavefront. After a global Morton sort, dead rays (key
+# 0xFFFFFFFF) sit at the tail, so the wavefront is live-first and a bounce
+# only needs to process the smallest static prefix covering the live bound.
+# One lax.switch per bounce — a scan of cond'd chunks was tried first and
+# LOSES (~165 µs loop overhead per chunk iteration: 96 → 129 ms/step).
+LIVE_PREFIX_DIVISORS = (1, 4, 16, 64)
+
+
+def live_prefix_sizes(scene: Scene, rays: int) -> list:
+    """Static prefix sizes (descending) for dead-ray compaction.
+
+    Granularity: whole intersection tiles when the Morton sort is global;
+    whole sort chunks otherwise (a prefix sort must respect the same chunk
+    boundaries as the full-wavefront sort, or the chunk-local by-ray-id
+    unsort in accumulate_radiance would break)."""
+    cs = sort_chunk_size(rays)
+    quantum = scene.config.packet_tile if cs == rays else cs
+    sizes = []
+    for div in LIVE_PREFIX_DIVISORS:
+        n = -(-rays // div)  # ceil(R / div)
+        n = min(rays, -(-n // quantum) * quantum)  # round up to the quantum
+        if n not in sizes:
+            sizes.append(n)
+    return sizes
+
+
+def bounce_on_live_prefix(
+    scene: Scene,
+    state: RayState,
+    pass_seed,
+    bounce,
+    live_bound: jnp.ndarray,  # () int32 — all live rays sit below this row
+    do_sort: bool,
+    reparam: bool = False,
+) -> Tuple[RayState, jnp.ndarray, jnp.ndarray]:
+    """One bounce (process + optional Morton reorder + live recount) on the
+    smallest static prefix covering the live rays — the TPU form of
+    dead-ray compaction (SURVEY §7.4; the reference only sorts dead rays to
+    the tail, raytracing.cu:238-247). → (state, live_bound', suspect).
+
+    Exactness: dead rays are no-ops in process_rays (they enter the
+    intersectors with a negative window and their state merge is masked), so
+    leaving the all-dead suffix untouched cannot change any output.
+    ``live_bound`` must over-approximate the highest live row + 1; rows can
+    only die in place between sorts, so a bound computed after the last
+    live-first sort stays valid; sorting a prefix keeps its rays inside the
+    prefix, so the incoming bound survives sorts too, and tightens to the
+    exact live count whenever the prefix was sorted in one piece (dead keys
+    sort last). The prefix choice is a lax.switch over static slice sizes —
+    data-dependent at runtime, fully differentiable, static shapes
+    throughout."""
+    rays = state.origin.shape[0]
+    cs = sort_chunk_size(rays)
+    sizes = live_prefix_sizes(scene, rays)
+
+    def run_prefix(n):
+        def fn(st):
+            prefix = RayState(*(leaf[:n] for leaf in st))
+            # process_rays_tiled: bounds each call's working set (fused-
+            # kernel VMEM outputs, cull matrices) to tile_size rays — the
+            # prefix itself can span millions of rays on full-res passes.
+            out, suspect = process_rays_tiled(
+                scene, prefix, pass_seed, bounce, reparam=reparam
+            )
+            bound = jnp.minimum(live_bound, n)
+            if do_sort:
+                out = reorder_rays(scene, out, chunk_size=min(cs, n))
+                if n <= cs:
+                    # Single-piece sort → live-first prefix → exact recount.
+                    alive = jnp.any(out.transmitted != 0.0, axis=-1)
+                    bound = jnp.sum(alive).astype(jnp.int32)
+            merged = RayState(
+                *(
+                    jnp.concatenate([o, leaf[n:]], axis=0) if n < rays else o
+                    for o, leaf in zip(out, st)
+                )
+            )
+            return merged, bound, suspect
+
+        return fn
+
+    if len(sizes) == 1:
+        return run_prefix(sizes[0])(state)
+
+    # Smallest prefix >= live_bound (sizes are descending).
+    index = jnp.zeros((), jnp.int32)
+    for i in range(1, len(sizes)):
+        index = jnp.where(live_bound <= sizes[i], i, index)
+    return jax.lax.switch(index, [run_prefix(n) for n in sizes], state)
+
+
 def resolved_intersector(scene: Scene) -> str:
     """The triangle intersector closest_hit will actually use.
 
@@ -515,17 +607,21 @@ def _unpack_state(packed: jnp.ndarray) -> RayState:
     )
 
 
-def reorder_rays(scene: Scene, state: RayState) -> RayState:
+def reorder_rays(
+    scene: Scene, state: RayState, chunk_size: int = None
+) -> RayState:
     """Morton-key sort of the wavefront (the CUB radix-sort step,
     raytracing.cu:238-247), chunk-local (see SORT_CHUNK). Physically
     permutes the SoA state — on TPU a sort+gather is the native form of the
-    reference's index indirection."""
+    reference's index indirection. ``chunk_size`` overrides the chunking
+    (used by the live-prefix path, which must keep the same chunk
+    boundaries as full-wavefront sorts)."""
     alive = jnp.any(state.transmitted != 0.0, axis=-1)
     keys = morton.ray_sort_keys(
         state.origin, state.direction, alive, scene.min_coord, scene.inv_extent
     )
     R = keys.shape[0]
-    cs = sort_chunk_size(R)
+    cs = chunk_size if chunk_size is not None else sort_chunk_size(R)
     packed = _pack_state(state)
     if cs == R:
         return _unpack_state(packed[jnp.argsort(keys)])
@@ -564,29 +660,35 @@ def trace_wavefront(
 
     sort_rays = sort_rays and reorder_is_useful(scene)
     sort_depth = scene.config.sort_depth or bounces
+    R = state.origin.shape[0]
 
-    def one_bounce(state, bounce):
-        new_state, suspect = process_rays_tiled(
-            scene, state, pass_seed, bounce, reparam=reparam, tile_size=tile_size
+    def one_bounce(state, live_bound, bounce):
+        """→ (state, live_bound', suspect); the whole bounce (intersect +
+        shade + optional Morton reorder + live recount) runs on the smallest
+        static live prefix (bounce_on_live_prefix)."""
+        # Static per-bounce sort decision (the loop is unrolled): sort while
+        # the wavefront is young; deep bounces are mostly dead rays where
+        # the reorder costs more than the coherence it buys — though with
+        # compaction, a sort also tightens the live bound, so it keeps
+        # paying further down than round 1's tuning suggested.
+        do_sort = sort_rays and bounce + 1 != bounces and bounce < sort_depth
+        return bounce_on_live_prefix(
+            scene, state, pass_seed, bounce, live_bound, do_sort,
+            reparam=reparam,
         )
-        # Static per-bounce decision (the loop is unrolled): sort while the
-        # wavefront is young; deep bounces are mostly dead rays where the
-        # reorder costs more than the coherence it buys.
-        if sort_rays and bounce + 1 != bounces and bounce < sort_depth:
-            new_state = reorder_rays(scene, new_state)
-        return new_state, suspect
 
     policy = jax.checkpoint_policies.save_only_these_names(
         "hit_t", "hit_index", "hit_mat", "hit_geom_normal"
     )
     step = (
-        jax.checkpoint(one_bounce, static_argnums=(1,), policy=policy)
+        jax.checkpoint(one_bounce, static_argnums=(2,), policy=policy)
         if checkpoint_bounces
         else one_bounce
     )
     suspect_total = jnp.zeros((), jnp.int32)
+    live_bound = jnp.int32(R)
     for bounce in range(bounces):
-        state, suspect = step(state, bounce)
+        state, live_bound, suspect = step(state, live_bound, bounce)
         suspect_total = suspect_total + suspect
     return state, suspect_total
 

@@ -179,22 +179,34 @@ def test_packet_two_round_matches_single_round():
     np.testing.assert_array_equal(np.asarray(i_1), np.asarray(i_2))
 
 
-def test_render_fails_loudly_on_overflow():
-    """A pair-budget overflow during a real render must raise, not silently
-    corrupt the image (the reference's CUDA_CHECK ethos, common.cuh:10-18)."""
+def test_render_overflow_raises_or_retries():
+    """A pair-budget overflow during a real render must never silently
+    corrupt the image (the reference's CUDA_CHECK ethos, common.cuh:10-18):
+    with auto_retry=False it raises; by default it re-renders with a doubled
+    cap until the certificate is clean, and the result matches a render that
+    started with an adequate cap."""
     import dataclasses
 
     from cuda_raytracer_tpu.render.pipeline import render_framebuffer
 
-    scene = _scene_with_clusters(tri_count=3000)
+    scene = _scene_with_clusters(tri_count=3000, cluster_tris=128)
     if scene.num_clusters < 3:
         pytest.skip("needs several clusters")
     tiny_cap = dataclasses.replace(
         scene.config, packet_cap=1, intersector="packet", sort_rays=False
     )
-    scene = scene.replace(config=tiny_cap)
+    tiny = scene.replace(config=tiny_cap)
     with pytest.raises(RuntimeError, match="exactness certificate"):
-        render_framebuffer(scene)
+        render_framebuffer(tiny, auto_retry=False)
+
+    with pytest.warns(UserWarning, match="re-rendering with packet_cap"):
+        fb_retry = np.asarray(render_framebuffer(tiny))
+    big_cap = dataclasses.replace(
+        scene.config, packet_cap=scene.num_clusters, intersector="packet",
+        sort_rays=False,
+    )
+    fb_direct = np.asarray(render_framebuffer(scene.replace(config=big_cap)))
+    np.testing.assert_array_equal(fb_retry, fb_direct)
 
 
 def test_packet_nearest_ranking_keeps_close_hits():

@@ -62,6 +62,30 @@ def test_sort_vs_no_sort_identical():
     np.testing.assert_array_equal(a, b)
 
 
+def test_sort_vs_no_sort_identical_mesh_scene():
+    """Same as above but on a mesh scene that takes the packet-intersector
+    path, where sorting also enables live-prefix compaction
+    (wavefront.bounce_on_live_prefix): reordering + prefix processing must
+    leave per-ray radiance bit-identical — dead rays are no-ops, so skipping
+    the dead suffix can change nothing."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        scene = load_scene(
+            f"{REF}/teapot.scene",
+            # packet_cap = K: at this toy resolution a tile spans several
+            # image rows, so per-tile cluster unions blow past the default
+            # XLA-path budget; an uncapped budget keeps the certificate
+            # clean (the TPU fused path needs no cap at all).
+            config_overrides=dict(width=12, height=12, packet_cap=1 << 14),
+        )
+    assert wavefront.resolved_intersector(scene) == "packet"
+    a = _collected(scene, rpp=2, bounces=5, sort_rays=False)
+    b = _collected(scene, rpp=2, bounces=5, sort_rays=True)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_bvh_vs_no_bvh_identical_image():
     # The reference's own A/B harness (no_bvh flag): identical renders
     # (scene.cu:820, SURVEY §4.3).
