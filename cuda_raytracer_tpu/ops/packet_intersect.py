@@ -230,11 +230,41 @@ def closest_hit_packet(
             # no pair budget, EXACT by construction (overflow ≡ 0).
             from cuda_raytracer_tpu.ops.pallas import fused as pallas_fused
 
-            meta, words = pallas_fused.pack_words(mask)
-            t_tile, tri_tile = pallas_fused.fused_closest_hit(
-                od8, scene.cluster_blocks, meta, words,
-                tile=tile, interpret=interpret,
-            )
+            def fused_sweep(sel):
+                meta, words = pallas_fused.pack_words(sel)
+                return pallas_fused.fused_closest_hit(
+                    od8, scene.cluster_blocks, meta, words,
+                    tile=tile, interpret=interpret,
+                )
+
+            if not two_round or K <= 1:
+                t_tile, tri_tile = fused_sweep(mask)
+            else:
+                # Front-to-back two-round sweep (exact; see the legacy path
+                # below for the argument): round 1 sweeps only each tile's
+                # nearest-entry cluster(s); round 2 re-culls with the
+                # per-ray window tightened to round 1's hits — a cluster
+                # whose [0, t_best] slab misses cannot contain a closer
+                # hit. Extraction is in-kernel and cheap, so the second
+                # pass costs one extra cull + kernel launch and typically
+                # halves the swept pair count on incoherent bounces.
+                entry_min = jnp.min(entry, axis=1, keepdims=True)
+                sel1 = mask & (entry <= entry_min)
+                t1, tri1 = fused_sweep(sel1)
+
+                window2 = jnp.minimum(
+                    closest_p.reshape(T, tile), t1[:T]
+                ).reshape(Rp)
+                entry2 = pallas_cull.cull_tiles(
+                    make_od8(window2), aabb, tile=tile, interpret=interpret
+                )
+                sel2 = (entry2 < hit_thresh) & ~sel1
+                t2, tri2 = fused_sweep(sel2)
+
+                upd = (t2 < t1) | ((t2 == t1) & (tri2 > tri1))
+                t_tile = jnp.where(upd, t2, t1)
+                tri_tile = jnp.where(upd, tri2, tri1)
+
             cutoff = jnp.full((T,), jnp.inf)
             return _finalize(
                 scene, t_tile[:T], tri_tile[:T], cutoff, closest, hit_index,

@@ -28,11 +28,51 @@ from cuda_raytracer_tpu.ops import tonemap as tonemap_ops
 from cuda_raytracer_tpu.render import wavefront
 
 
+# Rays per traced sub-pass block. Matching wavefront.SORT_CHUNK keeps every
+# block in the global-Morton-sort regime, where dead-ray compaction
+# (wavefront.bounce_on_live_prefix) is active; it also bounds compile sizes
+# (full-res pass graphs at 20M rays took minutes to build).
+RAY_BLOCK = 1 << 18
+
+
 @partial(
     jax.jit,
-    static_argnames=("rays_per_pixel", "bounces", "sort_rays", "reparam"),
+    static_argnames=("rays_per_pixel", "block_rays", "bounces", "sort_rays", "reparam"),
     donate_argnums=(1,),
 )
+def _render_block(
+    scene: Scene,
+    framebuffer: jnp.ndarray,  # (pixels, 3) — donated
+    pass_seed: jnp.ndarray,
+    block_lo: jnp.ndarray,  # () int32 — first ray id of the block
+    rays_per_pixel: int,
+    block_rays: int,
+    bounces: int,
+    sort_rays: bool,
+    reparam: bool = False,
+) -> tuple:
+    """Trace rays [block_lo, block_lo + block_rays) and accumulate into the
+    framebuffer rows they cover (blocks are whole-pixel runs)."""
+    ray_id = block_lo + jnp.arange(block_rays, dtype=jnp.int32)
+    state = wavefront.make_initial_state(scene, ray_id, rays_per_pixel, pass_seed)
+    state, suspect = wavefront.trace_wavefront(
+        scene, state, pass_seed, bounces, sort_rays, reparam=reparam
+    )
+    block_pixels = block_rays // rays_per_pixel
+    contribution = wavefront.accumulate_radiance(
+        state, rays_per_pixel, block_pixels,
+        ordered=wavefront.wavefront_ordered(scene, sort_rays, bounces),
+    )
+    px_lo = block_lo // rays_per_pixel
+    current = jax.lax.dynamic_slice(
+        framebuffer, (px_lo, 0), (block_pixels, 3)
+    )
+    framebuffer = jax.lax.dynamic_update_slice(
+        framebuffer, current + contribution, (px_lo, 0)
+    )
+    return framebuffer, suspect
+
+
 def render_pass(
     scene: Scene,
     framebuffer: jnp.ndarray,  # (pixels, 3) raw accumulated sums — donated
@@ -43,23 +83,33 @@ def render_pass(
     reparam: bool = False,
 ) -> tuple:
     """Trace one pass of ``rays_per_pixel`` samples for every pixel and
-    accumulate into the framebuffer.
+    accumulate into the framebuffer, in sub-blocks of ≤ RAY_BLOCK rays (each
+    a whole-pixel run, so per-pixel sums are bit-identical to one full-width
+    trace; per-(ray, bounce) RNG seeds depend only on stable ray ids).
 
     Returns (framebuffer, suspect): ``suspect`` is the pass's closest-hit
     exactness certificate (wavefront.trace_wavefront) — the number of rays
     whose intersection result could not be certified exact (packet-intersector
     pair-budget overflow). render_framebuffer fails loudly on nonzero."""
     pixels = framebuffer.shape[0]
-    ray_id = jnp.arange(pixels * rays_per_pixel, dtype=jnp.int32)
-    state = wavefront.make_initial_state(scene, ray_id, rays_per_pixel, pass_seed)
-    state, suspect = wavefront.trace_wavefront(
-        scene, state, pass_seed, bounces, sort_rays, reparam=reparam
-    )
-    contribution = wavefront.accumulate_radiance(
-        state, rays_per_pixel, pixels,
-        ordered=wavefront.wavefront_ordered(scene, sort_rays, bounces),
-    )
-    return framebuffer + contribution, suspect
+    total = pixels * rays_per_pixel
+    block = max(rays_per_pixel, (RAY_BLOCK // rays_per_pixel) * rays_per_pixel)
+    suspect = jnp.zeros((), jnp.int32)
+    lo = 0
+    while lo + block <= total:
+        framebuffer, s = _render_block(
+            scene, framebuffer, pass_seed, jnp.int32(lo),
+            rays_per_pixel, block, bounces, sort_rays, reparam,
+        )
+        suspect = suspect + s
+        lo += block
+    if lo < total:
+        framebuffer, s = _render_block(
+            scene, framebuffer, pass_seed, jnp.int32(lo),
+            rays_per_pixel, total - lo, bounces, sort_rays, reparam,
+        )
+        suspect = suspect + s
+    return framebuffer, suspect
 
 
 def render_framebuffer(

@@ -126,7 +126,11 @@ def closest_hit(
             tile=scene.config.packet_tile,
             cap=min(scene.config.packet_cap, scene.num_clusters),
             backend=backend,
-            two_round=two_round,
+            # Front-to-back two-round pruning pays only on the legacy sweep
+            # path, whose XLA pair extraction the pruning halves; the fused
+            # kernel's in-kernel extraction is already cheap, and the extra
+            # cull+launches measure as a net loss (80 → 85 ms/step).
+            two_round=two_round and backend == "pallas",
         )
         return t, index, suspects.astype(jnp.int32)
     t, index = traverse.bvh_closest_hit(scene, origin, direction, t, index)
@@ -672,6 +676,22 @@ def trace_wavefront(
         # compaction, a sort also tightens the live bound, so it keeps
         # paying further down than round 1's tuning suggested.
         do_sort = sort_rays and bounce + 1 != bounces and bounce < sort_depth
+        if not sort_rays or sort_chunk_size(R) != R:
+            # The live bound can only tighten after a live-first sort of a
+            # whole prefix — impossible without sorting, and unreachable in
+            # the chunk-local-sort regime (the bound starts at R > chunk, so
+            # the full branch runs and never recounts). Skip the prefix
+            # switch entirely there: besides compiling every branch of the
+            # bounce graph for nothing, XLA conditionals copy the full
+            # wavefront state in and out (~130 MB/bounce at 1M rays —
+            # measured 10x slower full-res renders). Full-res compaction
+            # comes from pipeline-level ray blocking instead.
+            new_state, suspect = process_rays_tiled(
+                scene, state, pass_seed, bounce, reparam=reparam
+            )
+            if do_sort:
+                new_state = reorder_rays(scene, new_state)
+            return new_state, live_bound, suspect
         return bounce_on_live_prefix(
             scene, state, pass_seed, bounce, live_bound, do_sort,
             reparam=reparam,

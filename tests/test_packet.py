@@ -177,6 +177,14 @@ def test_packet_two_round_matches_single_round():
     assert int(s_1) == int(s_2) == 0
     np.testing.assert_array_equal(np.asarray(t_1), np.asarray(t_2))
     np.testing.assert_array_equal(np.asarray(i_1), np.asarray(i_2))
+    # The fused backend's front-to-back variant must be exact too.
+    t_3, i_3, s_3 = packet_intersect.closest_hit_packet(
+        scene, origin, direction, t0, i0, cap=cap,
+        backend="fused_interpret", two_round=True,
+    )
+    assert int(s_3) == 0
+    np.testing.assert_array_equal(np.asarray(t_1), np.asarray(t_3))
+    np.testing.assert_array_equal(np.asarray(i_1), np.asarray(i_3))
 
 
 def test_render_overflow_raises_or_retries():
