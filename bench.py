@@ -37,6 +37,9 @@ def main() -> int:
 
     from cuda_raytracer_tpu.models.scene_dsl import load_scene
     from cuda_raytracer_tpu.render import diff
+    from cuda_raytracer_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     scene = load_scene(
         "/root/reference/teapot.scene",

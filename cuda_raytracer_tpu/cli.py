@@ -70,6 +70,10 @@ def main(argv=None) -> int:
         return 1
     args = build_parser().parse_args(argv)
 
+    from cuda_raytracer_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     unknown = set(args.flags) - {"no_sort", "cpu", "no_gpu", "no_bvh"}
     if unknown:
         print(f"Unknown flags: {sorted(unknown)}", file=sys.stderr)

@@ -230,12 +230,42 @@ def closest_hit_packet(
             # no pair budget, EXACT by construction (overflow ≡ 0).
             from cuda_raytracer_tpu.ops.pallas import fused as pallas_fused
 
+            # Cluster tables too big for VMEM residency are split into
+            # resident shards, each swept independently and min-merged —
+            # hits in different clusters combine exactly like phase-D's
+            # reduction, and sentinel pairs are harmless in any shard (the
+            # zero dummy ray tile makes every MT test miss). This keeps the
+            # batched resident kernel on scenes like lamp (~28 MB of
+            # blocks) instead of falling back to the slower DMA-wave path.
+            budget = pallas_fused.RESIDENT_BYTES
+            n_shards = (
+                max(1, -(-scene.cluster_blocks.size * 4 // budget))
+                if budget > 0 else 1  # budget 0 = force the DMA-wave path
+            )
+            n_shards = min(n_shards, K)
+            bounds = [
+                (K * s // n_shards, K * (s + 1) // n_shards)
+                for s in range(n_shards)
+            ] if n_shards > 1 else [(0, K + 1)]  # single shard keeps the dummy row
+
             def fused_sweep(sel):
-                meta, words = pallas_fused.pack_words(sel)
-                return pallas_fused.fused_closest_hit(
-                    od8, scene.cluster_blocks, meta, words,
-                    tile=tile, interpret=interpret,
-                )
+                out = None
+                for lo, hi in bounds:
+                    meta, words = pallas_fused.pack_words(sel[:, lo:hi])
+                    t_s, tri_s = pallas_fused.fused_closest_hit(
+                        od8, scene.cluster_blocks[lo:hi], meta, words,
+                        tile=tile, interpret=interpret,
+                    )
+                    if out is None:
+                        out = (t_s, tri_s)
+                    else:
+                        t_p, tri_p = out
+                        upd = (t_s < t_p) | ((t_s == t_p) & (tri_s > tri_p))
+                        out = (
+                            jnp.where(upd, t_s, t_p),
+                            jnp.where(upd, tri_s, tri_p),
+                        )
+                return out
 
             if not two_round or K <= 1:
                 t_tile, tri_tile = fused_sweep(mask)

@@ -39,6 +39,9 @@ def main() -> int:
 
     from cuda_raytracer_tpu.models.scene_dsl import load_scene
     from cuda_raytracer_tpu.render.pipeline import render_timed
+    from cuda_raytracer_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     print(f"| scene | ours {'/'.join(map(str, spps))} spp (s) | ref GPU (s) | ref CPU (s) |")
     print("|---|---|---|---|")

@@ -111,10 +111,14 @@ def main() -> None:
     from cuda_raytracer_tpu.ops import bloom as bloom_ops
     from cuda_raytracer_tpu.ops import tonemap as tonemap_ops
     from cuda_raytracer_tpu.render.pipeline import render_framebuffer
+    from cuda_raytracer_tpu.utils.compile_cache import enable_persistent_cache
     from cuda_raytracer_tpu.utils.png import read_png, write_png
 
+    enable_persistent_cache()
+
     os.makedirs("/root/repo/renders", exist_ok=True)
-    report = {"backend": jax.default_backend(), "spp": spp, "size": size}
+    report = {"backend": jax.default_backend(), "spp": spp, "size": size,
+              "seconds_note": "cold timings incl. jit compile; see BENCHMARKS.md for warm render times"}
     if merge and os.path.exists(out_path):
         with open(out_path) as f:
             report.update(json.load(f))
@@ -143,7 +147,7 @@ def main() -> None:
             result = compare(display, golden)
         else:
             result = structural_check(display, sky_visible=name != "lamp")
-        result["seconds"] = round(seconds, 3)
+        result["seconds"] = round(seconds, 3)  # includes jit compile
         result["spp"] = spp
         report[name] = result
         print(f"{name}: {result}", flush=True)

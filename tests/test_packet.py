@@ -137,7 +137,9 @@ def test_packet_fused_backend_matches_xla():
     t_x, i_x, s_x = packet_intersect.closest_hit_packet(
         scene, origin, direction, t0, i0, cap=cap
     )
-    for tile, resident_bytes in ((32, None), (128, None), (64, 0)):
+    # resident_bytes None → single-shard resident; tiny → multi-shard
+    # resident (the lamp-sized-table path); 0 → the DMA-wave fallback.
+    for tile, resident_bytes in ((32, None), (128, None), (64, 1 << 19), (64, 0)):
         old = pallas_fused.RESIDENT_BYTES
         if resident_bytes is not None:
             pallas_fused.RESIDENT_BYTES = resident_bytes  # force wave variant
