@@ -25,9 +25,13 @@ def main() -> None:
 
     import jax
 
-    mode = "tpu"
-    if jax.default_backend() != "tpu" or len(jax.devices()) < 2:
-        # Single-chip rig: virtual CPU mesh (harness validation only).
+    # TPU mode is opt-in (--tpu): probing the accelerator backend would
+    # block whenever the one tunneled chip is claimed elsewhere, and this
+    # rig never has >1 real chip anyway. On a real multi-chip slice run
+    # with --tpu to measure ICI scaling.
+    if "--tpu" in sys.argv and len(jax.devices()) >= 2:
+        mode = "tpu"
+    else:
         jax.config.update("jax_platforms", "cpu")
         from jax.extend.backend import clear_backends
 
@@ -50,6 +54,19 @@ def main() -> None:
         "scene": "cornell 64x64x4spp 4 bounces",
         **{k: float(v) for k, v in report.items()},
     }
+    if mode == "virtual_cpu":
+        # N virtual devices share one host's cores, so per-device throughput
+        # CANNOT scale and the ICI efficiency metric is undefined here. The
+        # meaningful number on this mode is the sharding overhead: the full
+        # pipeline partitioned N ways + psum accumulation vs the same work on
+        # one device of the same silicon.
+        n = int(mesh.devices.size)
+        out.pop("scaling_efficiency", None)
+        out["sharding_overhead"] = 1.0 - out[f"{n}dev"] / out["1dev"]
+        out["scaling_efficiency_note"] = (
+            "undefined on a virtual CPU mesh (shared host cores); "
+            "requires a real multi-chip slice — see sharding_overhead"
+        )
     path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
