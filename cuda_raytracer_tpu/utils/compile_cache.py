@@ -33,4 +33,13 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     # Cache everything that takes noticeable time; tiny programs aren't worth
     # the disk round-trip.
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # The cache object is created lazily on first compile and then pinned;
+    # if something already compiled in this process (tests, library use),
+    # drop it so the new dir takes effect.
+    try:
+        from jax._src.compilation_cache import reset_cache
+
+        reset_cache()
+    except Exception:
+        pass
     return path

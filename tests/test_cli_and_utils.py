@@ -138,3 +138,27 @@ def test_metrics_registry():
 def test_live_fraction():
     transmitted = jnp.asarray([[1.0, 0, 0], [0, 0, 0], [0, 0.5, 0], [0, 0, 0]])
     assert live_fraction(transmitted) == 0.5
+
+
+def test_persistent_compile_cache(tmp_path, monkeypatch):
+    """enable_persistent_cache points JAX at a writable cache dir and a
+    compiled function actually populates it; CUDA_RAYTRACER_TPU_NO_CACHE
+    opts out."""
+    import jax
+
+    from cuda_raytracer_tpu.utils.compile_cache import enable_persistent_cache
+
+    monkeypatch.delenv("CUDA_RAYTRACER_TPU_NO_CACHE", raising=False)
+    cache_dir = str(tmp_path / "jc")
+    assert enable_persistent_cache(cache_dir) == cache_dir
+    assert jax.config.jax_compilation_cache_dir == cache_dir
+    # Force min compile time to zero so even this tiny program is written.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        jax.jit(lambda x: x * 2.0 + 1.0)(jnp.arange(64, dtype=jnp.float32)).block_until_ready()
+        assert os.listdir(cache_dir), "compiled program not persisted"
+    finally:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    monkeypatch.setenv("CUDA_RAYTRACER_TPU_NO_CACHE", "1")
+    assert enable_persistent_cache(str(tmp_path / "other")) is None
