@@ -627,10 +627,15 @@ def reorder_rays(
     R = keys.shape[0]
     cs = chunk_size if chunk_size is not None else sort_chunk_size(R)
     packed = _pack_state(state)
+    # The permutation is saved as a checkpoint residual ("sort_order",
+    # trace_wavefront's policy): it costs 4 bytes/ray/bounce, and saving it
+    # turns the backward rematerialisation's argsort (~3 ms at R=131k, the
+    # bitonic sort is O(cs log^2 cs)) back into a plain gather.
     if cs == R:
-        return _unpack_state(packed[jnp.argsort(keys)])
+        order = checkpoint_name(jnp.argsort(keys), "sort_order")
+        return _unpack_state(packed[order])
     nc = R // cs
-    order = jnp.argsort(keys.reshape(nc, cs), axis=1)
+    order = checkpoint_name(jnp.argsort(keys.reshape(nc, cs), axis=1), "sort_order")
     permuted = jnp.take_along_axis(
         packed.reshape(nc, cs, packed.shape[1]), order[:, :, None], axis=1
     )
@@ -698,7 +703,7 @@ def trace_wavefront(
         )
 
     policy = jax.checkpoint_policies.save_only_these_names(
-        "hit_t", "hit_index", "hit_mat", "hit_geom_normal"
+        "hit_t", "hit_index", "hit_mat", "hit_geom_normal", "sort_order"
     )
     step = (
         jax.checkpoint(one_bounce, static_argnums=(2,), policy=policy)
