@@ -102,6 +102,10 @@ class RenderConfig:
     # walk+sweep kernel on TPU and the XLA while_loop elsewhere. Explicit
     # values: "xla", "pallas", "fused", plus "*_interpret" debug variants.
     packet_backend: str = dataclasses.field(metadata=dict(static=True), default="auto")
+    # Fused-kernel slab-entry early-out (BVH-style front-to-back skip of
+    # pair groups no ray can improve on; exact — ops/pallas/fused.SKIP_SLACK).
+    # Off by default pending on-hardware measurement.
+    packet_skip: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
 
 @jax.tree_util.register_dataclass

@@ -144,7 +144,7 @@ def _mt_tile_blocks(
 
 @partial(
     jax.jit,
-    static_argnames=("tile", "cap", "sweep_chunk", "backend", "two_round"),
+    static_argnames=("tile", "cap", "sweep_chunk", "backend", "two_round", "skip"),
 )
 def closest_hit_packet(
     scene: Scene,
@@ -157,6 +157,7 @@ def closest_hit_packet(
     sweep_chunk: int = DEFAULT_SWEEP_CHUNK,
     backend: str = "xla",  # "xla" | "pallas" | "pallas_interpret"
     two_round: bool = False,  # pallas path: front-to-back two-round sweep
+    skip: bool = False,  # fused path: slab-entry early-out (fused.SKIP_SLACK)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Update (closest, hit_index) with the nearest triangle hit.
 
@@ -248,13 +249,16 @@ def closest_hit_packet(
                 for s in range(n_shards)
             ] if n_shards > 1 else [(0, K + 1)]  # single shard keeps the dummy row
 
-            def fused_sweep(sel):
+            def fused_sweep(sel, ent=None):
+                """``ent``: the (T, K) cull entry table backing ``sel`` —
+                enables the in-kernel slab-entry early-out (skip flag)."""
                 out = None
                 for lo, hi in bounds:
                     meta, words = pallas_fused.pack_words(sel[:, lo:hi])
                     t_s, tri_s = pallas_fused.fused_closest_hit(
                         od8, scene.cluster_blocks[lo:hi], meta, words,
                         tile=tile, interpret=interpret,
+                        entry=ent[:, lo:hi] if ent is not None else None,
                     )
                     if out is None:
                         out = (t_s, tri_s)
@@ -267,8 +271,9 @@ def closest_hit_packet(
                         )
                 return out
 
+            ent = entry if skip else None
             if not two_round or K <= 1:
-                t_tile, tri_tile = fused_sweep(mask)
+                t_tile, tri_tile = fused_sweep(mask, ent)
             else:
                 # Front-to-back two-round sweep (exact; see the legacy path
                 # below for the argument): round 1 sweeps only each tile's
@@ -280,7 +285,7 @@ def closest_hit_packet(
                 # halves the swept pair count on incoherent bounces.
                 entry_min = jnp.min(entry, axis=1, keepdims=True)
                 sel1 = mask & (entry <= entry_min)
-                t1, tri1 = fused_sweep(sel1)
+                t1, tri1 = fused_sweep(sel1, ent)
 
                 window2 = jnp.minimum(
                     closest_p.reshape(T, tile), t1[:T]
@@ -289,7 +294,7 @@ def closest_hit_packet(
                     make_od8(window2), aabb, tile=tile, interpret=interpret
                 )
                 sel2 = (entry2 < hit_thresh) & ~sel1
-                t2, tri2 = fused_sweep(sel2)
+                t2, tri2 = fused_sweep(sel2, entry2 if skip else None)
 
                 upd = (t2 < t1) | ((t2 == t1) & (tri2 > tri1))
                 t_tile = jnp.where(upd, t2, t1)

@@ -407,33 +407,29 @@ def _mt_batch(raysT: jnp.ndarray, blks, tile: int, C: int):
     return best, tri
 
 
+# Conservative relative slack on the slab-entry skip threshold: a pair is
+# skipped only when its (slightly shrunk) entry distance strictly exceeds
+# every ray's current bound, so float rounding between the slab's tmin and
+# the MT t (different f32 expression chains, each ~2^-20 relative) can
+# never discard a pair that would have won — including exact-t ties, which
+# the tie rules resolve deterministically.
+SKIP_SLACK = 1.0 - 2.0 ** -14
+
+
 def _fused_kernel_resident(
     # inputs
     meta_ref,  # HBM (T * MW,) int32
     words_ref,  # HBM (T * WW,) int32
     rays_ref,  # HBM (T + 1, 8, L) f32 component-row tiles
     blocks_ref,  # VMEM (K + 1, 16, C) f32 — whole table resident on-chip
-    # outputs (VMEM)
-    t_out_ref,  # (T + 1, tile) f32
-    tri_out_ref,  # (T + 1, tile) f32
-    # scratch
-    meta_smem,  # SMEM (2 * TILE_CHUNK * MW,) int32
-    words_smem,  # SMEM (2 * TILE_CHUNK * WW,) int32
-    rt_smem,  # SMEM (RINGT,) int32 — ring of tile ids
-    rs_smem,  # SMEM (RINGT + 1,) int32 — per-tile pair segment starts
-    pk_smem,  # SMEM (RING,) int32 — ring of cluster ids
-    ray_buf,  # VMEM (2, 8, L)
-    blkB_buf,  # VMEM (MT_BATCH, 16, C) — staged same-tile blocks
-    meta_sem,  # DMA (2,)
-    words_sem,  # DMA (2,)
-    ray_sem,  # DMA (2,)
-    *,
+    *rest,  # [entry_ref (HBM (T * EW,) f32) when EW > 0], outputs, scratch
     tile: int,
     tile_chunk: int,
     Kw: int,
     Kw2: int,
     MW: int,
     WW: int,
+    EW: int = 0,
 ):
     """The fused walk+sweep with the cluster table VMEM-resident.
 
@@ -441,7 +437,25 @@ def _fused_kernel_resident(
     sweep — no per-pair DMA descriptors or semaphore traffic (measured
     ~0.5 µs/pair in the wave variant, dominating small-C configs). Ray
     tiles are DMA'd once per tile segment, double-buffered across the
-    ring's tile list."""
+    ring's tile list.
+
+    ``EW > 0`` enables the slab-entry skip (BVH-style early-out): the
+    cull's per-(tile, cluster) entry table rides along (row per tile,
+    padded to EW lanes), and a pair group is swept only if some ray's
+    current bound — min(accumulated best, incoming window) — reaches the
+    group's nearest entry (scaled by SKIP_SLACK; see its note). Dead and
+    padded rays carry negative windows, so they can never force a sweep."""
+    skip = EW > 0
+    rest = list(rest)
+    entry_ref = rest.pop(0) if skip else None
+    t_out_ref, tri_out_ref = rest[0], rest[1]
+    (meta_smem, words_smem, rt_smem, rs_smem, pk_smem, ray_buf,
+     blkB_buf) = rest[2:9]
+    if skip:
+        acc_best, acc_tri, ent_smem = rest[9:12]
+        meta_sem, words_sem, ray_sem, ent_sem = rest[12:16]
+    else:
+        meta_sem, words_sem, ray_sem = rest[9:12]
     T1, _ = t_out_ref.shape
     T = T1 - 1
     C = blocks_ref.shape[2]
@@ -482,44 +496,103 @@ def _fused_kernel_resident(
             rays_ref.at[rt_smem[i]], ray_buf.at[slot], ray_sem.at[slot]
         )
 
+    def ent_dma(i, slot):
+        return pltpu.make_async_copy(
+            entry_ref.at[pl.ds(rt_smem[i] * EW, EW)],
+            ent_smem.at[pl.ds(slot * EW, EW)],
+            ent_sem.at[slot],
+        )
+
+    def start_tile(i, slot):
+        ray_dma(i, slot).start()
+        if skip:
+            ent_dma(i, slot).start()
+
+    def wait_tile(i, slot):
+        ray_dma(i, slot).wait()
+        if skip:
+            ent_dma(i, slot).wait()
+
     def flush(tc, rc):
         """Sweep the ring's ``tc`` tile segments / ``rc`` pairs (rc > 0)."""
         rs_smem[tc] = rc  # terminator for the last segment
 
-        ray_dma(0, 0).start()
+        start_tile(0, 0)
 
         def tile_body(i, _):
             slot = i % 2
 
             @pl.when(i + 1 < tc)
             def _():
-                ray_dma(i + 1, (i + 1) % 2).start()
+                start_tile(i + 1, (i + 1) % 2)
 
-            ray_dma(i, slot).wait()
+            wait_tile(i, slot)
             raysT = ray_buf[slot][:, :tile].T  # (tile, 8), once per tile
             row = pl.ds(rt_smem[i], 1)
-            best0 = t_out_ref[row, :]
-            tri0 = tri_out_ref[row, :]
             seg_lo = rs_smem[i]
             seg_hi = rs_smem[i + 1]
+            n_groups = pl.cdiv(seg_hi - seg_lo, MT_BATCH)
 
-            def group_body(g, bt):
-                best, tri = bt
-                base = seg_lo + g * MT_BATCH
+            def stage_group(base):
                 # Stage MT_BATCH same-tile blocks; tail slots clamp to the
                 # segment's last pair (duplicates are idempotent under the
                 # min-fold accumulate).
                 for j in range(MT_BATCH):
                     p = jnp.minimum(base + j, seg_hi - 1)
                     blkB_buf[pl.ds(j, 1)] = blocks_ref[pl.ds(pk_smem[p], 1)]
-                b_g, tr_g = _mt_batch(raysT, blkB_buf[:, :, :], tile, C)
-                upd = (b_g < best) | ((b_g == best) & (tr_g > tri))
-                return jnp.where(upd, b_g, best), jnp.where(upd, tr_g, tri)
 
-            n_groups = pl.cdiv(seg_hi - seg_lo, MT_BATCH)
-            best, tri = jax.lax.fori_loop(0, n_groups, group_body, (best0, tri0))
-            t_out_ref[row, :] = best
-            tri_out_ref[row, :] = tri
+            if not skip:
+                best0 = t_out_ref[row, :]
+                tri0 = tri_out_ref[row, :]
+
+                def group_body(g, bt):
+                    best, tri = bt
+                    base = seg_lo + g * MT_BATCH
+                    stage_group(base)
+                    b_g, tr_g = _mt_batch(raysT, blkB_buf[:, :, :], tile, C)
+                    upd = (b_g < best) | ((b_g == best) & (tr_g > tri))
+                    return jnp.where(upd, b_g, best), jnp.where(upd, tr_g, tri)
+
+                best, tri = jax.lax.fori_loop(
+                    0, n_groups, group_body, (best0, tri0)
+                )
+                t_out_ref[row, :] = best
+                tri_out_ref[row, :] = tri
+                return 0
+
+            # Skip path: the accumulator lives in VMEM scratch so a whole
+            # group's staging + MT can sit under one pl.when. ``bound`` is
+            # each ray's best-possible improvement target: the incoming
+            # per-ray window (ray row 6 — negative for dead/padded rays)
+            # min'd with the accumulated best-so-far.
+            win = ray_buf[slot][6:7, :tile]  # (1, tile)
+            acc_best[:, :] = t_out_ref[row, :]
+            acc_tri[:, :] = tri_out_ref[row, :]
+
+            def group_body_skip(g, _):
+                base = seg_lo + g * MT_BATCH
+                e = ent_smem[slot * EW + pk_smem[jnp.minimum(base, seg_hi - 1)]]
+                for j in range(1, MT_BATCH):
+                    p = jnp.minimum(base + j, seg_hi - 1)
+                    e = jnp.minimum(e, ent_smem[slot * EW + pk_smem[p]])
+                bound = jnp.minimum(acc_best[:, :], win)
+                need = jnp.any(bound >= e * SKIP_SLACK)
+
+                @pl.when(need)
+                def _():
+                    stage_group(base)
+                    b_g, tr_g = _mt_batch(raysT, blkB_buf[:, :, :], tile, C)
+                    best = acc_best[:, :]
+                    tri = acc_tri[:, :]
+                    upd = (b_g < best) | ((b_g == best) & (tr_g > tri))
+                    acc_best[:, :] = jnp.where(upd, b_g, best)
+                    acc_tri[:, :] = jnp.where(upd, tr_g, tri)
+
+                return 0
+
+            jax.lax.fori_loop(0, n_groups, group_body_skip, 0)
+            t_out_ref[row, :] = acc_best[:, :]
+            tri_out_ref[row, :] = acc_tri[:, :]
             return 0
 
         jax.lax.fori_loop(0, tc, tile_body, 0)
@@ -667,9 +740,16 @@ def fused_closest_hit(
     words: jnp.ndarray,  # (T, Kw) int32
     tile: int,
     interpret: bool = False,
+    entry: jnp.ndarray = None,  # (T, K) f32 cull slab entries — enables skip
 ):
     """→ (t_tile (T+1, tile) f32, tri_tile (T+1, tile) int32); exact closest
-    hits over every culled (tile, cluster) pair. Callers slice off row T."""
+    hits over every culled (tile, cluster) pair. Callers slice off row T.
+
+    ``entry`` (the cull kernel's per-(tile, cluster) slab entry distances)
+    enables the BVH-style early-out in the resident kernel: a pair group
+    whose nearest entry lies strictly beyond every ray's current bound is
+    skipped without staging or sweeping (exact — see SKIP_SLACK). Ignored
+    on the DMA-wave variant."""
     T1, _, lanes = od8.shape
     T = T1 - 1
     K1, _, C = blocks.shape
@@ -687,10 +767,30 @@ def fused_closest_hit(
     words = jnp.pad(words, ((0, tpad), (0, WW - Kw))).reshape(-1)
 
     resident = blocks.size * 4 <= RESIDENT_BYTES
+    skip = entry is not None and resident
     if resident:
+        EW = 0
+        extra_in = []
+        extra_ops = ()
+        skip_scratch = []
+        if skip:
+            # Entry rows padded to 128-lane multiples so the flat per-tile
+            # DMA slices stay 128-aligned; pad value is MISS (never hit).
+            EW = -(-entry.shape[1] // 128) * 128
+            entry = jnp.pad(
+                entry, ((0, 0), (0, EW - entry.shape[1])),
+                constant_values=MISS,
+            ).reshape(-1)
+            extra_in = [pl.BlockSpec(memory_space=pltpu.HBM)]
+            extra_ops = (entry,)
+            skip_scratch = [
+                pltpu.VMEM((1, tile), jnp.float32),  # acc_best
+                pltpu.VMEM((1, tile), jnp.float32),  # acc_tri
+                pltpu.SMEM((2 * EW,), jnp.float32),  # ent_smem
+            ]
         kernel = functools.partial(
             _fused_kernel_resident,
-            tile=tile, tile_chunk=tc, Kw=Kw, Kw2=Kw2, MW=MW, WW=WW,
+            tile=tile, tile_chunk=tc, Kw=Kw, Kw2=Kw2, MW=MW, WW=WW, EW=EW,
         )
         blocks_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         scratch = [
@@ -701,11 +801,16 @@ def fused_closest_hit(
             pltpu.SMEM((RING,), jnp.int32),
             pltpu.VMEM((2, 8, lanes), jnp.float32),
             pltpu.VMEM((MT_BATCH, 16, C), jnp.float32),
+            *skip_scratch,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+        if skip:
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))
     else:
+        extra_in = []
+        extra_ops = ()
         kernel = functools.partial(
             _fused_kernel, tile=tile, tile_chunk=tc, Kw=Kw, Kw2=Kw2, MW=MW, WW=WW
         )
@@ -733,6 +838,7 @@ def fused_closest_hit(
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             blocks_spec,
+            *extra_in,
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -748,5 +854,5 @@ def fused_closest_hit(
             jax.ShapeDtypeStruct((T1, tile), jnp.float32),
         ),
         interpret=interpret,
-    )(meta, words, od8, blocks)
+    )(meta, words, od8, blocks, *extra_ops)
     return t_tile, tri_tile.astype(jnp.int32)

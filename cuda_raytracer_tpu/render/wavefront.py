@@ -131,6 +131,7 @@ def closest_hit(
             # kernel's in-kernel extraction is already cheap, and the extra
             # cull+launches measure as a net loss (80 → 85 ms/step).
             two_round=two_round and backend == "pallas",
+            skip=scene.config.packet_skip,
         )
         return t, index, suspects.astype(jnp.int32)
     t, index = traverse.bvh_closest_hit(scene, origin, direction, t, index)

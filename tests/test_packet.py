@@ -236,3 +236,52 @@ def test_packet_nearest_ranking_keeps_close_hits():
     ok = np.isclose(np.asarray(t_pk), np.asarray(t_br), rtol=1e-5, atol=1e-5)
     # all disagreements are flagged
     assert int(suspects) >= int((~ok).sum())
+
+
+def test_fused_skip_matches_no_skip():
+    """The slab-entry early-out (skip=True) must be bit-identical to the
+    full sweep: the SKIP_SLACK threshold only discards pair groups whose
+    entry lies strictly beyond every ray's current bound. Exercised with
+    finite incoming windows (sphere-style bounds), dead rays (negative
+    window), the single-shard and multi-shard resident variants, and the
+    two-round front-to-back mode."""
+    from cuda_raytracer_tpu.ops.pallas import fused as pallas_fused
+
+    scene = _scene_with_clusters(tri_count=3000, cluster_tris=64)
+    n = 384
+    origin, direction = _random_rays(scene, n)
+    rng = np.random.default_rng(3)
+    # Mixed incoming windows: open (MISS), finite bounds, and dead rays.
+    t0 = np.full((n,), intersect.MISS, np.float32)
+    t0[: n // 3] = rng.uniform(0.5, 50.0, n // 3).astype(np.float32)
+    t0[n // 3 : n // 3 + 16] = -1.0  # dead
+    t0 = jnp.asarray(t0)
+    i0 = jnp.full((n,), -1, jnp.int32)
+    cap = min(64, scene.num_clusters)
+
+    def run(skip, tile=64, resident_bytes=None, two_round=False):
+        old = pallas_fused.RESIDENT_BYTES
+        if resident_bytes is not None:
+            pallas_fused.RESIDENT_BYTES = resident_bytes
+        try:
+            jax.clear_caches()
+            return packet_intersect.closest_hit_packet(
+                scene, origin, direction, t0, i0, cap=cap, tile=tile,
+                backend="fused_interpret", skip=skip, two_round=two_round,
+            )
+        finally:
+            if resident_bytes is not None:
+                pallas_fused.RESIDENT_BYTES = old
+                jax.clear_caches()
+
+    for kwargs in (
+        dict(),
+        dict(tile=32),
+        dict(resident_bytes=1 << 19),  # multi-shard resident
+        dict(two_round=True),
+    ):
+        t_a, i_a, s_a = run(False, **kwargs)
+        t_b, i_b, s_b = run(True, **kwargs)
+        assert int(s_a) == int(s_b) == 0
+        np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+        np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
