@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--metrics", action="store_true", help="emit a JSON metrics line to stderr"
     )
+    parser.add_argument(
+        "--packet-skip",
+        action="store_true",
+        help="enable the fused kernel's slab-entry early-out (exact; "
+        "see ops/pallas/fused.SKIP_SLACK)",
+    )
     return parser
 
 
@@ -94,6 +100,8 @@ def main(argv=None) -> int:
 
     metrics = Metrics()
     overrides = dict(sort_rays=sort_rays)
+    if args.packet_skip:
+        overrides["packet_skip"] = True
     for key, value in (
         ("width", args.width),
         ("height", args.height),

@@ -1,0 +1,106 @@
+"""Measure the fused kernel's slab-entry early-out (packet_skip) on TPU.
+
+Compares fwd+bwd step time (bench shape) and forward full-res render time
+with packet_skip off/on. Simulation says ~39% of MT tests are skippable on
+teapot at C=256 with the group-frozen best; the check costs a few SMEM
+scalar loads plus one vector->scalar reduce per MT_BATCH group. Also
+re-checks on-hardware bit-equality (skip vs no-skip) before timing.
+
+Usage:  python scripts/scan_skip.py [--fullres]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cuda_raytracer_tpu.models.scene_dsl import load_scene
+from cuda_raytracer_tpu.render import diff, pipeline
+from cuda_raytracer_tpu.utils.compile_cache import enable_persistent_cache
+
+WIDTH = HEIGHT = 256
+RAYS_PER_PIXEL = 2
+BOUNCES = 10
+REPEATS = 10
+
+
+def with_skip(scene, skip):
+    return scene.replace(
+        config=dataclasses.replace(scene.config, packet_skip=skip)
+    )
+
+
+def time_grad_step(scene):
+    params, _ = diff.split_params(scene)
+    target = jnp.zeros((scene.num_pixels, 3), jnp.float32)
+    grad_fn = jax.jit(
+        jax.value_and_grad(
+            lambda p, seed: diff.loss_against_target(
+                p, scene, target, seed, RAYS_PER_PIXEL, BOUNCES
+            )
+        )
+    )
+    jax.block_until_ready(grad_fn(params, jnp.uint32(0)))
+    jax.block_until_ready(grad_fn(params, jnp.uint32(1)))
+    start = time.perf_counter()
+    outs = [grad_fn(params, jnp.uint32(i + 2)) for i in range(REPEATS)]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - start) / REPEATS
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--fullres", action="store_true",
+                        help="also time 1000x1000x10spp teapot forward")
+    args = parser.parse_args()
+    enable_persistent_cache()
+
+    scene = load_scene(
+        "/root/reference/teapot.scene",
+        config_overrides=dict(
+            width=WIDTH, height=HEIGHT,
+            rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES,
+        ),
+    )
+
+    # Bit-equality on hardware first — a perf number for a wrong kernel is
+    # worse than no number.
+    fb_off = np.asarray(pipeline.render_framebuffer(with_skip(scene, False)))
+    fb_on = np.asarray(pipeline.render_framebuffer(with_skip(scene, True)))
+    equal = bool((fb_off == fb_on).all())
+    print(json.dumps({"scan": "skip_bitequal", "equal": equal}), flush=True)
+    if not equal:
+        diff_frac = float((fb_off != fb_on).mean())
+        print(json.dumps({"scan": "skip_mismatch_frac", "frac": diff_frac}))
+        return 1
+
+    for skip in (False, True):
+        t = time_grad_step(with_skip(scene, skip))
+        print(json.dumps({"scan": "grad_step", "packet_skip": skip,
+                          "ms_per_step": round(t * 1e3, 2)}), flush=True)
+
+    if args.fullres:
+        for skip in (False, True):
+            s = load_scene("/root/reference/teapot.scene",
+                           config_overrides=dict(rays_per_pixel=10,
+                                                 packet_skip=skip))
+            _img, seconds = pipeline.render_timed(s)  # compile+warm
+            _img, seconds = pipeline.render_timed(s)
+            print(json.dumps({"scan": "fullres_fwd", "packet_skip": skip,
+                              "spp": 10, "seconds": round(seconds, 3)}),
+                  flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

@@ -72,6 +72,13 @@ def main() -> int:
                     cap=cap, tile=tile, backend=backend,
                 )
                 check(f"{name}/{backend}/tile{tile}", ref, got)
+        # Slab-entry early-out (packet_skip): must be bit-exact on hardware.
+        for tile in (32, 64):
+            got = pi.closest_hit_packet(
+                scene, st.origin, st.direction, cl, i0,
+                cap=cap, tile=tile, backend="fused", skip=True,
+            )
+            check(f"{name}/fused_skip/tile{tile}", ref, got)
 
     report["ok"] = ok
     out_path = sys.argv[1] if len(sys.argv) > 1 else "TPU_PARITY.json"
