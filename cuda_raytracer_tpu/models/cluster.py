@@ -150,6 +150,59 @@ def pack_cluster_blocks(
     return blocks, slot_to_tri
 
 
+def split_aabbs(
+    clusters: ClusterArrays,
+    tri_p1: np.ndarray,
+    tri_e1: np.ndarray,
+    tri_e2: np.ndarray,
+    split: int,
+):
+    """Sub-cluster cull boxes: ``split`` tight AABBs per cluster.
+
+    Each cluster's slot range is cut into ``split`` equal chunks (contiguous
+    in BVH-permuted order, so spatially coherent) and each chunk gets a
+    tight box over its triangles' three vertices — the *two-level cull*:
+    the sweep still runs whole (16, C) blocks (128-lane aligned), but a
+    block is culled in only when some chunk box is slab-hit, which is
+    strictly tighter than one box over the union. Row k*split+s is chunk s
+    of cluster k; empty chunks get inverted boxes (min > max → slab always
+    misses). ``split=1`` returns the BVH node boxes unchanged.
+
+    Boxes are inflated by a 2^-18 relative margin: the MT accept region is
+    computed in f32 with its own rounding, so a few-ulp overhang past the
+    exact hull must still cull in — the margin is ~16x any plausible drift,
+    at negligible tightness cost.
+    """
+    if split <= 1:
+        return clusters.aabb_min, clusters.aabb_max
+    K, C = clusters.num_clusters, clusters.max_tris
+    if C % split:
+        raise ValueError(f"cull_split {split} must divide cluster_tris {C}")
+    chunk = C // split
+    mins = np.full((K * split, 3), 1e30, np.float32)
+    maxs = np.full((K * split, 3), -1e30, np.float32)
+    v2 = tri_p1 + tri_e1
+    v3 = tri_p1 + tri_e2
+    for k in range(K):
+        n = int(clusters.count[k])
+        lo = int(clusters.start[k])
+        for s in range(split):
+            a = s * chunk
+            b = min(n, a + chunk)
+            if a >= b:
+                break
+            sl = slice(lo + a, lo + b)
+            pts = np.concatenate([tri_p1[sl], v2[sl], v3[sl]])
+            bmin = pts.min(axis=0)
+            bmax = pts.max(axis=0)
+            margin = np.float32(2.0 ** -18) * np.maximum(
+                np.maximum(np.abs(bmin), np.abs(bmax)), np.float32(1e-20)
+            )
+            mins[k * split + s] = bmin - margin
+            maxs[k * split + s] = bmax + margin
+    return mins, maxs
+
+
 def cluster_stats(clusters: ClusterArrays) -> dict:
     """Observability: fill rate and size distribution."""
     counts = clusters.count

@@ -106,6 +106,12 @@ class RenderConfig:
     # pair groups no ray can improve on; exact — ops/pallas/fused.SKIP_SLACK).
     # Off by default pending on-hardware measurement.
     packet_skip: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # Two-level cull: sub-AABBs per cluster block (models/cluster.split_aabbs).
+    # 1 = one BVH node box per block (round-1 behaviour); S > 1 culls each
+    # block against S tight chunk boxes OR-reduced — strictly fewer swept
+    # pairs, identical results. Must divide cluster_tris. Default 1 pending
+    # on-hardware measurement.
+    cull_split: int = dataclasses.field(metadata=dict(static=True), default=1)
 
 
 @jax.tree_util.register_dataclass
@@ -146,8 +152,8 @@ class Scene:
     # K cluster AABBs + uniform triangle blocks + slot→triangle map. The
     # blocks carry one extra degenerate dummy row (index K) that the fused
     # closest-hit kernel's sentinel pairs read.
-    cluster_min: jnp.ndarray  # (K, 3)
-    cluster_max: jnp.ndarray  # (K, 3)
+    cluster_min: jnp.ndarray  # (K * config.cull_split, 3) cull sub-boxes
+    cluster_max: jnp.ndarray  # (K * config.cull_split, 3)
     cluster_blocks: jnp.ndarray  # (K + 1, 16, C)
     cluster_slot_tri: jnp.ndarray  # (K*C,) int32, -1 for padding slots
 

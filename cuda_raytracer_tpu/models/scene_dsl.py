@@ -354,6 +354,12 @@ def assemble_scene(
     cluster_blocks, slot_tri = cluster_mod.pack_cluster_blocks(
         clusters, p1.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32)
     )
+    # Two-level cull tables: (K * cull_split, 3) sub-boxes, row-major by
+    # cluster (models/cluster.split_aabbs; identity at cull_split=1).
+    cull_min, cull_max = cluster_mod.split_aabbs(
+        clusters, p1.astype(np.float32), e1.astype(np.float32),
+        e2.astype(np.float32), render_config.cull_split,
+    )
     # Append one degenerate dummy cluster (row K): the fused closest-hit
     # kernel targets it with sentinel pairs (zero edges → MT det 0 → miss).
     dummy = np.zeros((1,) + cluster_blocks.shape[1:], np.float32)
@@ -383,8 +389,8 @@ def assemble_scene(
         bvh_max=jnp.asarray(pad_rows(built.node_max, node_pad, bvh_mod.AABB_EMPTY_MAX)),
         bvh_child1=jnp.asarray(pad_rows(built.child1, node_pad, 0)),
         bvh_child2=jnp.asarray(pad_rows(built.child2, node_pad, 0)),
-        cluster_min=jnp.asarray(clusters.aabb_min),
-        cluster_max=jnp.asarray(clusters.aabb_max),
+        cluster_min=jnp.asarray(cull_min),
+        cluster_max=jnp.asarray(cull_max),
         cluster_blocks=jnp.asarray(cluster_blocks),
         cluster_slot_tri=jnp.asarray(slot_tri),
         environment_map=jnp.asarray(parsed.environment_map),

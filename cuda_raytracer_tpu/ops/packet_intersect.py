@@ -172,6 +172,10 @@ def closest_hit_packet(
     R = origin.shape[0]
     K = scene.num_clusters
     C = scene.cluster_tris
+    # Two-level cull (models/cluster.split_aabbs): the box tables hold S
+    # tight chunk boxes per cluster; masks/entries reduce to block
+    # granularity (OR / min) right after each cull.
+    S = scene.cluster_min.shape[0] // max(K, 1) if K else 1
 
     pad = (-R) % tile
     Rp = R + pad
@@ -210,17 +214,24 @@ def closest_hit_packet(
             return jnp.pad(od8, ((0, 1), (0, 0), (0, max(0, 128 - tile))))
 
         od8 = make_od8(closest_p)
+        KS = scene.cluster_min.shape[0]
         aabb = jnp.concatenate(
             [
                 scene.cluster_min.T,
                 scene.cluster_max.T,
-                jnp.zeros((2, K), jnp.float32),
+                jnp.zeros((2, KS), jnp.float32),
             ],
             axis=0,
-        )  # (8, K)
+        )  # (8, K * S)
         P = T * cap
 
-        entry = pallas_cull.cull_tiles(od8, aabb, tile=tile, interpret=interpret)
+        def cull(od8_x):
+            """→ (T, K) block-level slab entry (min over the S chunk boxes
+            that hit; MISS_ENTRY where none does)."""
+            e = pallas_cull.cull_tiles(od8_x, aabb, tile=tile, interpret=interpret)
+            return e.reshape(T, K, S).min(axis=2) if S > 1 else e
+
+        entry = cull(od8)
         # (T, K) slab entry, MISS_ENTRY where the tile can't hit
         hit_thresh = jnp.float32(pallas_cull.MISS_ENTRY * 0.5)
         mask = entry < hit_thresh
@@ -290,9 +301,7 @@ def closest_hit_packet(
                 window2 = jnp.minimum(
                     closest_p.reshape(T, tile), t1[:T]
                 ).reshape(Rp)
-                entry2 = pallas_cull.cull_tiles(
-                    make_od8(window2), aabb, tile=tile, interpret=interpret
-                )
+                entry2 = cull(make_od8(window2))
                 sel2 = (entry2 < hit_thresh) & ~sel1
                 t2, tri2 = fused_sweep(sel2, entry2 if skip else None)
 
@@ -362,10 +371,7 @@ def closest_hit_packet(
             t1, tri1, ovf1 = extract_and_sweep(sel1.reshape(T * K))
 
             window2 = jnp.minimum(closest_p.reshape(T, tile), t1[:T])
-            entry2 = pallas_cull.cull_tiles(
-                make_od8(window2.reshape(Rp)), aabb, tile=tile,
-                interpret=interpret,
-            )
+            entry2 = cull(make_od8(window2.reshape(Rp)))
             sel2 = (entry2 < hit_thresh) & ~sel1
             t2, tri2, ovf2 = extract_and_sweep(sel2.reshape(T * K))
 
@@ -384,11 +390,19 @@ def closest_hit_packet(
     inv_dir = _safe_inv_dir(direction)
 
     # ---- Phase A: tile-level cull mask + entry distances (T, K) -----------
+    def cull_chunk(o, i, c):
+        """_cull_tile_mask reduced from sub-box to block granularity."""
+        m, e = _cull_tile_mask(
+            o, i, c, scene.cluster_min, scene.cluster_max, tile
+        )
+        if S > 1:
+            m = m.reshape(-1, K, S).any(axis=2)
+            e = e.reshape(-1, K, S).min(axis=2)
+        return m, e
+
     rows = max(min(CULL_ROWS, Rp) // tile * tile, tile)
     if Rp <= rows:
-        tile_mask, tile_entry = _cull_tile_mask(
-            origin, inv_dir, closest_p, scene.cluster_min, scene.cluster_max, tile
-        )
+        tile_mask, tile_entry = cull_chunk(origin, inv_dir, closest_p)
     else:
         rpad = (-Rp) % rows
         o = jnp.pad(origin, ((0, rpad), (0, 0)))
@@ -396,9 +410,7 @@ def closest_hit_packet(
         c = jnp.pad(closest_p, (0, rpad), constant_values=-1.0)
         chunks = (Rp + rpad) // rows
         tile_mask, tile_entry = jax.lax.map(
-            lambda args: _cull_tile_mask(
-                *args, scene.cluster_min, scene.cluster_max, tile
-            ),
+            lambda args: cull_chunk(*args),
             (
                 o.reshape(chunks, rows, 3),
                 i.reshape(chunks, rows, 3),

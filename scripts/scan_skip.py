@@ -1,10 +1,11 @@
-"""Measure the fused kernel's slab-entry early-out (packet_skip) on TPU.
+"""Measure the fused kernel's slab-entry early-out (packet_skip) and the
+two-level cull (cull_split) on TPU.
 
 Compares fwd+bwd step time (bench shape) and forward full-res render time
-with packet_skip off/on. Simulation says ~39% of MT tests are skippable on
-teapot at C=256 with the group-frozen best; the check costs a few SMEM
-scalar loads plus one vector->scalar reduce per MT_BATCH group. Also
-re-checks on-hardware bit-equality (skip vs no-skip) before timing.
+across packet_skip x cull_split combos. Simulation says ~39% of MT tests
+are skippable on teapot at C=256 with the group-frozen best; the split
+cull prunes block sweeps whose union box slab-hit but no tight chunk box
+does. Bit-equality is re-checked on hardware before timing.
 
 Usage:  python scripts/scan_skip.py [--fullres]
 """
@@ -64,38 +65,48 @@ def main() -> int:
     args = parser.parse_args()
     enable_persistent_cache()
 
-    scene = load_scene(
-        "/root/reference/teapot.scene",
-        config_overrides=dict(
-            width=WIDTH, height=HEIGHT,
-            rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES,
-        ),
-    )
+    def bench_scene(split):
+        return load_scene(
+            "/root/reference/teapot.scene",
+            config_overrides=dict(
+                width=WIDTH, height=HEIGHT,
+                rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES,
+                cull_split=split,
+            ),
+        )
 
     # Bit-equality on hardware first — a perf number for a wrong kernel is
     # worse than no number.
-    fb_off = np.asarray(pipeline.render_framebuffer(with_skip(scene, False)))
-    fb_on = np.asarray(pipeline.render_framebuffer(with_skip(scene, True)))
-    equal = bool((fb_off == fb_on).all())
-    print(json.dumps({"scan": "skip_bitequal", "equal": equal}), flush=True)
-    if not equal:
-        diff_frac = float((fb_off != fb_on).mean())
-        print(json.dumps({"scan": "skip_mismatch_frac", "frac": diff_frac}))
-        return 1
+    fb_ref = np.asarray(pipeline.render_framebuffer(bench_scene(1)))
+    for split, skip in ((1, True), (4, False), (4, True)):
+        fb = np.asarray(
+            pipeline.render_framebuffer(with_skip(bench_scene(split), skip))
+        )
+        equal = bool((fb_ref == fb).all())
+        print(json.dumps({"scan": "bitequal", "cull_split": split,
+                          "packet_skip": skip, "equal": equal}), flush=True)
+        if not equal:
+            print(json.dumps({"scan": "mismatch_frac",
+                              "frac": float((fb_ref != fb).mean())}))
+            return 1
 
-    for skip in (False, True):
-        t = time_grad_step(with_skip(scene, skip))
-        print(json.dumps({"scan": "grad_step", "packet_skip": skip,
-                          "ms_per_step": round(t * 1e3, 2)}), flush=True)
+    for split in (1, 2, 4):
+        for skip in (False, True):
+            t = time_grad_step(with_skip(bench_scene(split), skip))
+            print(json.dumps({"scan": "grad_step", "cull_split": split,
+                              "packet_skip": skip,
+                              "ms_per_step": round(t * 1e3, 2)}), flush=True)
 
     if args.fullres:
-        for skip in (False, True):
+        for split, skip in ((1, False), (1, True), (4, False), (4, True)):
             s = load_scene("/root/reference/teapot.scene",
                            config_overrides=dict(rays_per_pixel=10,
-                                                 packet_skip=skip))
+                                                 packet_skip=skip,
+                                                 cull_split=split))
             _img, seconds = pipeline.render_timed(s)  # compile+warm
             _img, seconds = pipeline.render_timed(s)
-            print(json.dumps({"scan": "fullres_fwd", "packet_skip": skip,
+            print(json.dumps({"scan": "fullres_fwd", "cull_split": split,
+                              "packet_skip": skip,
                               "spp": 10, "seconds": round(seconds, 3)}),
                   flush=True)
     return 0

@@ -93,7 +93,9 @@ def test_pack_blocks_rejects_giant_scenes():
         cluster_mod.pack_cluster_blocks(clusters, huge, huge, huge)
 
 
-def _scene_with_clusters(tri_count=3000, seed=11, cluster_tris=None):
+def _scene_with_clusters(
+    tri_count=3000, seed=11, cluster_tris=None, config_overrides=None
+):
     from cuda_raytracer_tpu.models import cluster as cluster_mod2
     from cuda_raytracer_tpu.models.scene_dsl import assemble_scene, parse_scene_text
 
@@ -109,6 +111,7 @@ def _scene_with_clusters(tri_count=3000, seed=11, cluster_tris=None):
         parse_scene_text("\n".join(lines)),
         prefer_native_bvh=False,
         cluster_tris=cluster_tris or cluster_mod2.DEFAULT_CLUSTER_TRIS,
+        config_overrides=config_overrides,
     )
 
 

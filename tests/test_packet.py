@@ -285,3 +285,52 @@ def test_fused_skip_matches_no_skip():
         assert int(s_a) == int(s_b) == 0
         np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
         np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
+
+
+def test_cull_split_matches_single_box():
+    """The two-level cull (cull_split=S tight chunk boxes per block,
+    OR-reduced) must be bit-identical to the single-node-box cull on every
+    backend: cull tightness only prunes pairs that cannot hit, never the
+    winning pair. Covers xla (capped, cap=K so exact), fused interpret,
+    and the fused + packet_skip combination (where the tighter chunk
+    entries also feed the early-out)."""
+    n = 384
+    scenes = {
+        s: _scene_with_clusters(
+            tri_count=3000, cluster_tris=128,
+            config_overrides=dict(cull_split=s) if s > 1 else None,
+        )
+        for s in (1, 4)
+    }
+    assert scenes[4].cluster_min.shape[0] == 4 * scenes[4].num_clusters
+    origin, direction = _random_rays(scenes[1], n)
+    t0 = jnp.full((n,), intersect.MISS)
+    i0 = jnp.full((n,), -1, jnp.int32)
+    cap = scenes[1].num_clusters  # exact capped path
+
+    def run(scene, **kw):
+        return packet_intersect.closest_hit_packet(
+            scene, origin, direction, t0, i0, cap=cap, tile=64, **kw
+        )
+
+    for kw in (
+        dict(backend="xla"),
+        dict(backend="fused_interpret"),
+        dict(backend="fused_interpret", skip=True),
+        dict(backend="pallas_interpret", two_round=True),
+    ):
+        t_1, i_1, s_1 = run(scenes[1], **kw)
+        t_4, i_4, s_4 = run(scenes[4], **kw)
+        assert int(s_1) == int(s_4) == 0, kw
+        np.testing.assert_array_equal(np.asarray(t_1), np.asarray(t_4))
+        np.testing.assert_array_equal(np.asarray(i_1), np.asarray(i_4))
+
+    # And against brute force: the split cull must not lose any hit.
+    t_br, _ = intersect.intersect_triangles_brute(
+        origin, direction, scenes[4].tri_p1, scenes[4].tri_e1, scenes[4].tri_e2
+    )
+    t_s, _, _ = run(scenes[4], backend="fused_interpret", skip=True)
+    np.testing.assert_allclose(
+        np.asarray(t_s), np.asarray(jnp.minimum(t_br, intersect.MISS)),
+        rtol=1e-6, atol=1e-6,
+    )
