@@ -15,9 +15,11 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import sys
 import time
 import warnings
 
+sys.path.insert(0, "/root/repo")  # run from anywhere
 warnings.filterwarnings("ignore")
 
 import jax

@@ -23,8 +23,10 @@ from __future__ import annotations
 import argparse
 import json
 import time
+import sys
 import warnings
 
+sys.path.insert(0, "/root/repo")  # run from anywhere
 warnings.filterwarnings("ignore")
 
 import jax
