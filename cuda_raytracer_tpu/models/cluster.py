@@ -165,8 +165,13 @@ def split_aabbs(
     the sweep still runs whole (16, C) blocks (128-lane aligned), but a
     block is culled in only when some chunk box is slab-hit, which is
     strictly tighter than one box over the union. Row k*split+s is chunk s
-    of cluster k; empty chunks get inverted boxes (min > max → slab always
-    misses). ``split=1`` returns the BVH node boxes unchanged.
+    of cluster k; empty chunks get a far-away degenerate POINT box (the
+    block padding coordinate 1e17) — under the windowed Tavian slab test
+    (packet_intersect._cull_tile_mask) a point box can only "hit" when all
+    three per-axis parameters tie exactly, so it prunes like a miss. (An
+    inverted min>max box would be WRONG here: the running-window form
+    leaves the window untouched per axis, so inverted boxes always hit.)
+    ``split=1`` returns the BVH node boxes unchanged.
 
     Boxes are inflated by a 2^-18 relative margin: the MT accept region is
     computed in f32 with its own rounding, so a few-ulp overhang past the
@@ -179,8 +184,8 @@ def split_aabbs(
     if C % split:
         raise ValueError(f"cull_split {split} must divide cluster_tris {C}")
     chunk = C // split
-    mins = np.full((K * split, 3), 1e30, np.float32)
-    maxs = np.full((K * split, 3), -1e30, np.float32)
+    mins = np.full((K * split, 3), 1e17, np.float32)
+    maxs = np.full((K * split, 3), 1e17, np.float32)
     v2 = tri_p1 + tri_e1
     v3 = tri_p1 + tri_e2
     for k in range(K):

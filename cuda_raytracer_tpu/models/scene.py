@@ -103,7 +103,8 @@ class RenderConfig:
     # values: "xla", "pallas", "fused", plus "*_interpret" debug variants.
     packet_backend: str = dataclasses.field(metadata=dict(static=True), default="auto")
     # Fused-kernel slab-entry early-out (BVH-style front-to-back skip of
-    # pair groups no ray can improve on; exact — ops/pallas/fused.SKIP_SLACK).
+    # pairs no slab-hitting ray can improve on, tested per ray against the
+    # cull's hit bitmask; exact — ops/pallas/fused.SKIP_SLACK).
     # Off by default pending on-hardware measurement.
     packet_skip: bool = dataclasses.field(metadata=dict(static=True), default=False)
     # Two-level cull: sub-AABBs per cluster block (models/cluster.split_aabbs).

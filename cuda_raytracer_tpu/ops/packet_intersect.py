@@ -39,6 +39,7 @@ scene.cu:190).
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Tuple
 
@@ -225,13 +226,30 @@ def closest_hit_packet(
         )  # (8, K * S)
         P = T * cap
 
-        def cull(od8_x):
+        def cull(od8_x, want_mask=False):
             """→ (T, K) block-level slab entry (min over the S chunk boxes
-            that hit; MISS_ENTRY where none does)."""
-            e = pallas_cull.cull_tiles(od8_x, aabb, tile=tile, interpret=interpret)
-            return e.reshape(T, K, S).min(axis=2) if S > 1 else e
+            that hit; MISS_ENTRY where none does). ``want_mask=True`` also
+            returns the (T, W, K) per-ray hit bitmask (OR over chunk
+            boxes) for the fused kernel's per-ray early-out."""
+            out = pallas_cull.cull_tiles(
+                od8_x, aabb, tile=tile, interpret=interpret,
+                with_mask=want_mask,
+            )
+            e, mw = out if want_mask else (out, None)
+            if S > 1:
+                e = e.reshape(T, K, S).min(axis=2)
+                if mw is not None:
+                    mw4 = mw.reshape(T, mw.shape[1], K, S)
+                    mw = functools.reduce(
+                        jnp.bitwise_or, [mw4[..., s] for s in range(S)]
+                    )
+            return (e, mw) if want_mask else e
 
-        entry = cull(od8)
+        want_mask = skip and backend in ("fused", "fused_interpret")
+        if want_mask:
+            entry, maskw = cull(od8, want_mask=True)
+        else:
+            entry, maskw = cull(od8), None
         # (T, K) slab entry, MISS_ENTRY where the tile can't hit
         hit_thresh = jnp.float32(pallas_cull.MISS_ENTRY * 0.5)
         mask = entry < hit_thresh
@@ -260,9 +278,10 @@ def closest_hit_packet(
                 for s in range(n_shards)
             ] if n_shards > 1 else [(0, K + 1)]  # single shard keeps the dummy row
 
-            def fused_sweep(sel, ent=None):
-                """``ent``: the (T, K) cull entry table backing ``sel`` —
-                enables the in-kernel slab-entry early-out (skip flag)."""
+            def fused_sweep(sel, ent=None, mw=None):
+                """``ent``/``mw``: the (T, K) cull entry table and (T, W, K)
+                per-ray hit bitmask backing ``sel`` — enable the in-kernel
+                per-ray slab-entry early-out (skip flag)."""
                 out = None
                 for lo, hi in bounds:
                     meta, words = pallas_fused.pack_words(sel[:, lo:hi])
@@ -270,6 +289,7 @@ def closest_hit_packet(
                         od8, scene.cluster_blocks[lo:hi], meta, words,
                         tile=tile, interpret=interpret,
                         entry=ent[:, lo:hi] if ent is not None else None,
+                        hitmask=mw[:, :, lo:hi] if mw is not None else None,
                     )
                     if out is None:
                         out = (t_s, tri_s)
@@ -284,7 +304,7 @@ def closest_hit_packet(
 
             ent = entry if skip else None
             if not two_round or K <= 1:
-                t_tile, tri_tile = fused_sweep(mask, ent)
+                t_tile, tri_tile = fused_sweep(mask, ent, maskw)
             else:
                 # Front-to-back two-round sweep (exact; see the legacy path
                 # below for the argument): round 1 sweeps only each tile's
@@ -296,14 +316,19 @@ def closest_hit_packet(
                 # halves the swept pair count on incoherent bounces.
                 entry_min = jnp.min(entry, axis=1, keepdims=True)
                 sel1 = mask & (entry <= entry_min)
-                t1, tri1 = fused_sweep(sel1, ent)
+                t1, tri1 = fused_sweep(sel1, ent, maskw)
 
                 window2 = jnp.minimum(
                     closest_p.reshape(T, tile), t1[:T]
                 ).reshape(Rp)
-                entry2 = cull(make_od8(window2))
+                if want_mask:
+                    entry2, maskw2 = cull(make_od8(window2), want_mask=True)
+                else:
+                    entry2, maskw2 = cull(make_od8(window2)), None
                 sel2 = (entry2 < hit_thresh) & ~sel1
-                t2, tri2 = fused_sweep(sel2, entry2 if skip else None)
+                t2, tri2 = fused_sweep(
+                    sel2, entry2 if skip else None, maskw2
+                )
 
                 upd = (t2 < t1) | ((t2 == t1) & (tri2 > tri1))
                 t_tile = jnp.where(upd, t2, t1)

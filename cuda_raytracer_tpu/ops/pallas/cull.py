@@ -30,11 +30,18 @@ from jax.experimental.pallas import tpu as pltpu
 MISS_ENTRY = 1e30
 
 
-def _cull_kernel(rays_ref, aabb_ref, entry_ref, *, tile):
+def _cull_kernel(rays_ref, aabb_ref, entry_ref, *mask_out, tile):
     """rays (1, 8, L): component rows [ox oy oz dx dy dz tmax pad], lanes
     padded to L >= tile; aabb (8, K): rows [min xyz, max xyz, -, -];
     out entry (1, K) — min slab entry over the tile's rays, 1e30 where
-    no ray hits the box (a hit mask is `entry < MISS_ENTRY`)."""
+    no ray hits the box (a hit mask is `entry < MISS_ENTRY`).
+
+    With a second output ref (1, W, K) int32 (W = ceil(tile/32)), also
+    emits the per-ray hit BITMASK: bit r of word w is set iff ray
+    32w + r of the tile slab-hits the cluster — the fused kernel's
+    per-ray early-out needs to know *which* rays demanded each pair,
+    not just the tile-level OR (a single never-hit ray in the tile
+    otherwise pins every pair; see fused._fused_kernel_resident)."""
     K = aabb_ref.shape[1]
     rays = rays_ref[0][:, :tile].T  # (tile, 8)
     tmax0 = rays[:, 6:7]
@@ -61,30 +68,61 @@ def _cull_kernel(rays_ref, aabb_ref, entry_ref, *, tile):
     hit = tmin_run <= tmax_run  # (tile, K)
     entry = jnp.where(hit, tmin_run, jnp.float32(MISS_ENTRY))
     entry_ref[0] = jnp.min(entry, axis=0, keepdims=True)
+    if mask_out:
+        # Bit-pack the (tile, K) hit mask along the ray (sublane) axis:
+        # hit bits are disjoint powers of two per 32-row band, so an int32
+        # SUM over the band is exactly the bitwise OR.
+        ray = jax.lax.broadcasted_iota(jnp.int32, (tile, K), 0)
+        shifted = jax.lax.shift_left(hit.astype(jnp.int32), ray & 31)
+        W = mask_out[0].shape[1]
+        words = [
+            jnp.sum(shifted[32 * w : 32 * (w + 1)], axis=0, keepdims=True)
+            for w in range(W)
+        ]
+        mask_out[0][0] = jnp.concatenate(words, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tile", "interpret", "with_mask"))
 def cull_tiles(
     od8: jnp.ndarray,  # (T + 1, 8, L) f32 component-row tiles (dummy row T unused)
     aabb: jnp.ndarray,  # (8, K) f32 — rows [min xyz, max xyz, 0, 0]
     tile: int,
     interpret: bool = False,
-) -> jnp.ndarray:
+    with_mask: bool = False,
+):
     """→ (T, K) f32 tile×cluster slab entry distance (min over the tile's
     rays); MISS_ENTRY where no ray hits, so a hit mask is
-    ``cull_tiles(...) < MISS_ENTRY``."""
+    ``cull_tiles(...) < MISS_ENTRY``.
+
+    ``with_mask=True`` returns (entry, maskw) where maskw is the
+    (T, W, K) int32 per-ray hit bitmask (W = ceil(tile/32); bit r of
+    word w ⇔ ray 32w + r hits) consumed by the fused kernel's per-ray
+    slab-entry early-out."""
     T = od8.shape[0] - 1
     K = aabb.shape[1]
     L = od8.shape[2]
-    entry = pl.pallas_call(
+    W = -(-tile // 32)
+    out_shape = [jax.ShapeDtypeStruct((T, 1, K), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((1, 1, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+    ]
+    if with_mask:
+        out_shape.append(jax.ShapeDtypeStruct((T, W, K), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((1, W, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+        )
+    out = pl.pallas_call(
         functools.partial(_cull_kernel, tile=tile),
         grid=(T,),
         in_specs=[
             pl.BlockSpec((1, 8, L), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, K), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, K), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, 1, K), jnp.float32),
+        out_specs=tuple(out_specs) if with_mask else out_specs[0],
+        out_shape=tuple(out_shape) if with_mask else out_shape[0],
         interpret=interpret,
     )(od8, aabb)
-    return entry.reshape(T, K)
+    if with_mask:
+        entry, maskw = out
+        return entry.reshape(T, K), maskw
+    return out.reshape(T, K)

@@ -422,7 +422,7 @@ def _fused_kernel_resident(
     words_ref,  # HBM (T * WW,) int32
     rays_ref,  # HBM (T + 1, 8, L) f32 component-row tiles
     blocks_ref,  # VMEM (K + 1, 16, C) f32 — whole table resident on-chip
-    *rest,  # [entry_ref (HBM (T * EW,) f32) when EW > 0], outputs, scratch
+    *rest,  # [entry_ref (T * EW,) f32, mask_ref (T * NW * EW,) i32 when EW > 0], outputs, scratch
     tile: int,
     tile_chunk: int,
     Kw: int,
@@ -430,6 +430,7 @@ def _fused_kernel_resident(
     MW: int,
     WW: int,
     EW: int = 0,
+    NW: int = 0,
 ):
     """The fused walk+sweep with the cluster table VMEM-resident.
 
@@ -441,19 +442,27 @@ def _fused_kernel_resident(
 
     ``EW > 0`` enables the slab-entry skip (BVH-style early-out): the
     cull's per-(tile, cluster) entry table rides along (row per tile,
-    padded to EW lanes), and a pair group is swept only if some ray's
-    current bound — min(accumulated best, incoming window) — reaches the
-    group's nearest entry (scaled by SKIP_SLACK; see its note). Dead and
-    padded rays carry negative windows, so they can never force a sweep."""
+    padded to EW lanes) together with its per-ray hit BITMASK (NW int32
+    words per tile row, bit r of word w ⇔ ray 32w + r slab-hits the
+    cluster). A pair is swept only if some ray that actually HITS its box
+    has a current bound — min(accumulated best, incoming window) — that
+    reaches the pair's entry (scaled by SKIP_SLACK; see its note). The
+    mask is what makes the test per-ray: without it, one never-hit ray in
+    the tile (bound = MISS forever) forces every sweep, and simulation
+    says the early-out then fires ~never on mixed tiles (scripts/
+    lever_sim.py: teapot b1-sorted 5.4k → 4.1k MT tests/ray with the
+    mask, ~0 without). Dead and padded rays carry negative windows and
+    zero mask bits, so they can never force a sweep."""
     skip = EW > 0
     rest = list(rest)
     entry_ref = rest.pop(0) if skip else None
+    mask_ref = rest.pop(0) if skip else None
     t_out_ref, tri_out_ref = rest[0], rest[1]
     (meta_smem, words_smem, rt_smem, rs_smem, pk_smem, ray_buf,
      blkB_buf) = rest[2:9]
     if skip:
-        acc_best, acc_tri, ent_smem = rest[9:12]
-        meta_sem, words_sem, ray_sem, ent_sem = rest[12:16]
+        acc_best, acc_tri, ent_smem, mask_smem = rest[9:13]
+        meta_sem, words_sem, ray_sem, ent_sem, mask_sem = rest[13:18]
     else:
         meta_sem, words_sem, ray_sem = rest[9:12]
     T1, _ = t_out_ref.shape
@@ -503,15 +512,24 @@ def _fused_kernel_resident(
             ent_sem.at[slot],
         )
 
+    def mask_dma(i, slot):
+        return pltpu.make_async_copy(
+            mask_ref.at[pl.ds(rt_smem[i] * NW * EW, NW * EW)],
+            mask_smem.at[pl.ds(slot * NW * EW, NW * EW)],
+            mask_sem.at[slot],
+        )
+
     def start_tile(i, slot):
         ray_dma(i, slot).start()
         if skip:
             ent_dma(i, slot).start()
+            mask_dma(i, slot).start()
 
     def wait_tile(i, slot):
         ray_dma(i, slot).wait()
         if skip:
             ent_dma(i, slot).wait()
+            mask_dma(i, slot).wait()
 
     def flush(tc, rc):
         """Sweep the ring's ``tc`` tile segments / ``rc`` pairs (rc > 0)."""
@@ -564,19 +582,39 @@ def _fused_kernel_resident(
             # group's staging + MT can sit under one pl.when. ``bound`` is
             # each ray's best-possible improvement target: the incoming
             # per-ray window (ray row 6 — negative for dead/padded rays)
-            # min'd with the accumulated best-so-far.
+            # min'd with the accumulated best-so-far. A pair demands its
+            # sweep only through rays whose mask bit is set (rays that
+            # slab-hit its box): bit r of mask word w covers ray 32w + r,
+            # expanded to a lane predicate with a variable-shift against a
+            # lane iota.
             win = ray_buf[slot][6:7, :tile]  # (1, tile)
             acc_best[:, :] = t_out_ref[row, :]
             acc_tri[:, :] = tri_out_ref[row, :]
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+            lane_lo = lanes & 31
+            lane_w = jax.lax.shift_right_logical(lanes, 5)
 
             def group_body_skip(g, _):
                 base = seg_lo + g * MT_BATCH
-                e = ent_smem[slot * EW + pk_smem[jnp.minimum(base, seg_hi - 1)]]
-                for j in range(1, MT_BATCH):
-                    p = jnp.minimum(base + j, seg_hi - 1)
-                    e = jnp.minimum(e, ent_smem[slot * EW + pk_smem[p]])
                 bound = jnp.minimum(acc_best[:, :], win)
-                need = jnp.any(bound >= e * SKIP_SLACK)
+                needv = jnp.zeros((1, tile), jnp.bool_)
+                for j in range(MT_BATCH):
+                    p = jnp.minimum(base + j, seg_hi - 1)
+                    k = pk_smem[p]
+                    e = ent_smem[slot * EW + k]
+                    pred = jnp.zeros((1, tile), jnp.int32)
+                    for w in range(NW):
+                        word = jnp.full(
+                            (1, tile), mask_smem[slot * NW * EW + w * EW + k]
+                        )
+                        bits = (
+                            jax.lax.shift_right_logical(word, lane_lo) & 1
+                        )
+                        pred = jnp.where(lane_w == w, bits, pred)
+                    needv = needv | (
+                        (pred != 0) & (bound >= e * SKIP_SLACK)
+                    )
+                need = jnp.any(needv)
 
                 @pl.when(need)
                 def _():
@@ -741,15 +779,16 @@ def fused_closest_hit(
     tile: int,
     interpret: bool = False,
     entry: jnp.ndarray = None,  # (T, K) f32 cull slab entries — enables skip
+    hitmask: jnp.ndarray = None,  # (T, W, K) int32 per-ray cull bitmask
 ):
     """→ (t_tile (T+1, tile) f32, tri_tile (T+1, tile) int32); exact closest
     hits over every culled (tile, cluster) pair. Callers slice off row T.
 
     ``entry`` (the cull kernel's per-(tile, cluster) slab entry distances)
-    enables the BVH-style early-out in the resident kernel: a pair group
-    whose nearest entry lies strictly beyond every ray's current bound is
-    skipped without staging or sweeping (exact — see SKIP_SLACK). Ignored
-    on the DMA-wave variant."""
+    plus ``hitmask`` (its per-ray hit bitmask, cull_tiles(with_mask=True))
+    enable the BVH-style early-out in the resident kernel: a pair is
+    skipped when no ray that slab-hits its box has a bound reaching its
+    entry (exact — see SKIP_SLACK). Ignored on the DMA-wave variant."""
     T1, _, lanes = od8.shape
     T = T1 - 1
     K1, _, C = blocks.shape
@@ -767,9 +806,10 @@ def fused_closest_hit(
     words = jnp.pad(words, ((0, tpad), (0, WW - Kw))).reshape(-1)
 
     resident = blocks.size * 4 <= RESIDENT_BYTES
-    skip = entry is not None and resident
+    skip = entry is not None and hitmask is not None and resident
     if resident:
         EW = 0
+        NW = 0
         extra_in = []
         extra_ops = ()
         skip_scratch = []
@@ -777,20 +817,31 @@ def fused_closest_hit(
             # Entry rows padded to 128-lane multiples so the flat per-tile
             # DMA slices stay 128-aligned; pad value is MISS (never hit).
             EW = -(-entry.shape[1] // 128) * 128
+            NW = hitmask.shape[1]
             entry = jnp.pad(
                 entry, ((0, 0), (0, EW - entry.shape[1])),
                 constant_values=MISS,
             ).reshape(-1)
-            extra_in = [pl.BlockSpec(memory_space=pltpu.HBM)]
-            extra_ops = (entry,)
+            # Mask rows flat per tile, word-major; padded clusters carry
+            # zero bits (no ray hits them — they are never emitted anyway).
+            hitmask = jnp.pad(
+                hitmask, ((0, 0), (0, 0), (0, EW - hitmask.shape[2]))
+            ).reshape(-1)
+            extra_in = [
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ]
+            extra_ops = (entry, hitmask)
             skip_scratch = [
                 pltpu.VMEM((1, tile), jnp.float32),  # acc_best
                 pltpu.VMEM((1, tile), jnp.float32),  # acc_tri
                 pltpu.SMEM((2 * EW,), jnp.float32),  # ent_smem
+                pltpu.SMEM((2 * NW * EW,), jnp.int32),  # mask_smem
             ]
         kernel = functools.partial(
             _fused_kernel_resident,
             tile=tile, tile_chunk=tc, Kw=Kw, Kw2=Kw2, MW=MW, WW=WW, EW=EW,
+            NW=NW,
         )
         blocks_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         scratch = [
@@ -807,7 +858,8 @@ def fused_closest_hit(
             pltpu.SemaphoreType.DMA((2,)),
         ]
         if skip:
-            scratch.append(pltpu.SemaphoreType.DMA((2,)))
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))  # ent_sem
+            scratch.append(pltpu.SemaphoreType.DMA((2,)))  # mask_sem
     else:
         extra_in = []
         extra_ops = ()
