@@ -1,11 +1,17 @@
-"""Measure the fused kernel's slab-entry early-out (packet_skip) and the
-two-level cull (cull_split) on TPU.
+"""Measure the fused kernel's per-ray slab-entry early-out (packet_skip)
+across (packet_tile, cluster_tris) configs on TPU.
 
-Compares fwd+bwd step time (bench shape) and forward full-res render time
-across packet_skip x cull_split combos. Simulation says ~39% of MT tests
-are skippable on teapot at C=256 with the group-frozen best; the split
-cull prunes block sweeps whose union box slab-hit but no tight chunk box
-does. Bit-equality is re-checked on hardware before timing.
+Per scripts/lever_sim.py (teapot, b1-sorted MT tests/ray):
+
+  C=256 t=64: 5376 -> 4096 masked | C=256 t=32: 3264 -> 2496
+  C=128 t=64: 3520 -> 2560        | C=128 t=32: 1984 -> 1472
+  C=128 t=16: 1200 ->  896
+
+The cull's vector cost is ~K x 10 ops/ray (7.5k at C=256, 15k at C=128)
+vs MT's ~50/test, so smaller C + mask should win on op counts; what the
+sim can't see is per-pair cursor/staging overheads and narrow-shape
+latency at small tiles — that's what this scan measures. Bit-equality is
+re-checked on hardware before timing.
 
 Usage:  python scripts/scan_skip.py [--fullres]
 """
@@ -35,10 +41,28 @@ RAYS_PER_PIXEL = 2
 BOUNCES = 10
 REPEATS = 10
 
+# (packet_tile, cluster_tris, packet_skip); (64, 256, False) is the
+# shipped round-2 config and the bit-equality reference.
+CONFIGS = [
+    (64, 256, False),
+    (64, 256, True),
+    (32, 256, True),
+    (64, 128, True),
+    (32, 128, True),
+    (16, 128, True),
+    (32, 128, False),
+]
 
-def with_skip(scene, skip):
-    return scene.replace(
-        config=dataclasses.replace(scene.config, packet_skip=skip)
+
+def bench_scene(tile, ct, skip):
+    return load_scene(
+        "/root/reference/teapot.scene",
+        config_overrides=dict(
+            width=WIDTH, height=HEIGHT,
+            rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES,
+            packet_tile=tile, packet_skip=skip,
+        ),
+        cluster_tris=ct,
     )
 
 
@@ -64,50 +88,52 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--fullres", action="store_true",
                         help="also time 1000x1000x10spp teapot forward")
+    parser.add_argument("--configs", type=str, default=None,
+                        help="comma list tile:ct:skip, e.g. 64:256:1,32:128:1")
     args = parser.parse_args()
     enable_persistent_cache()
 
-    def bench_scene(split):
-        return load_scene(
-            "/root/reference/teapot.scene",
-            config_overrides=dict(
-                width=WIDTH, height=HEIGHT,
-                rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES,
-                cull_split=split,
-            ),
-        )
+    configs = CONFIGS
+    if args.configs:
+        configs = [
+            (int(t), int(c), bool(int(s)))
+            for t, c, s in (x.split(":") for x in args.configs.split(","))
+        ]
 
     # Bit-equality on hardware first — a perf number for a wrong kernel is
-    # worse than no number.
-    fb_ref = np.asarray(pipeline.render_framebuffer(bench_scene(1)))
-    for split, skip in ((1, True), (4, False), (4, True)):
+    # worse than no number. NOTE: changing tile/ct changes float reduction
+    # ORDER nowhere (MT math is per-pair identical and the accumulate is an
+    # exact min-fold), so all configs must agree bit-for-bit.
+    fb_ref = np.asarray(pipeline.render_framebuffer(bench_scene(64, 256, False)))
+    for tile, ct, skip in configs[1:]:
         fb = np.asarray(
-            pipeline.render_framebuffer(with_skip(bench_scene(split), skip))
+            pipeline.render_framebuffer(bench_scene(tile, ct, skip))
         )
         equal = bool((fb_ref == fb).all())
-        print(json.dumps({"scan": "bitequal", "cull_split": split,
+        print(json.dumps({"scan": "bitequal", "tile": tile, "ct": ct,
                           "packet_skip": skip, "equal": equal}), flush=True)
         if not equal:
             print(json.dumps({"scan": "mismatch_frac",
                               "frac": float((fb_ref != fb).mean())}))
             return 1
 
-    for split in (1, 2, 4):
-        for skip in (False, True):
-            t = time_grad_step(with_skip(bench_scene(split), skip))
-            print(json.dumps({"scan": "grad_step", "cull_split": split,
-                              "packet_skip": skip,
-                              "ms_per_step": round(t * 1e3, 2)}), flush=True)
+    for tile, ct, skip in configs:
+        t = time_grad_step(bench_scene(tile, ct, skip))
+        print(json.dumps({"scan": "grad_step", "tile": tile, "ct": ct,
+                          "packet_skip": skip,
+                          "ms_per_step": round(t * 1e3, 2)}), flush=True)
 
     if args.fullres:
-        for split, skip in ((1, False), (1, True), (4, False), (4, True)):
-            s = load_scene("/root/reference/teapot.scene",
-                           config_overrides=dict(rays_per_pixel=10,
-                                                 packet_skip=skip,
-                                                 cull_split=split))
+        for tile, ct, skip in configs:
+            s = load_scene(
+                "/root/reference/teapot.scene",
+                config_overrides=dict(rays_per_pixel=10, packet_tile=tile,
+                                      packet_skip=skip),
+                cluster_tris=ct,
+            )
             _img, seconds = pipeline.render_timed(s)  # compile+warm
             _img, seconds = pipeline.render_timed(s)
-            print(json.dumps({"scan": "fullres_fwd", "cull_split": split,
+            print(json.dumps({"scan": "fullres_fwd", "tile": tile, "ct": ct,
                               "packet_skip": skip,
                               "spp": 10, "seconds": round(seconds, 3)}),
                   flush=True)
@@ -115,5 +141,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    import sys
     sys.exit(main())

@@ -334,3 +334,54 @@ def test_cull_split_matches_single_box():
         np.asarray(t_s), np.asarray(jnp.minimum(t_br, intersect.MISS)),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_cull_mask_bits_match_per_ray_slab():
+    """cull_tiles(with_mask=True) must set bit r of word w for exactly the
+    rays whose individual slab test hits (the per-ray early-out is only
+    exact if a set bit == 'this ray can reach triangles in this box'), and
+    the OR of the bits must match the tile-level hit mask (entry <
+    MISS_ENTRY)."""
+    from cuda_raytracer_tpu.ops.pallas import cull as pallas_cull
+    from cuda_raytracer_tpu.ops.traverse import _safe_inv_dir
+
+    scene = _scene_with_clusters(tri_count=1200, cluster_tris=128)
+    K = scene.num_clusters
+    tile = 64
+    n = 256
+    origin, direction = _random_rays(scene, n)
+    window = jnp.full((n,), intersect.MISS)
+    # mark a few rays dead (negative window rejects every box)
+    window = window.at[::7].set(-1.0)
+    T = n // tile
+
+    comps = [origin[:, 0], origin[:, 1], origin[:, 2],
+             direction[:, 0], direction[:, 1], direction[:, 2],
+             window, jnp.zeros((n,), jnp.float32)]
+    od8 = jnp.stack([v.reshape(T, tile) for v in comps], axis=1)
+    od8 = jnp.pad(od8, ((0, 1), (0, 0), (0, 128 - tile)))
+    aabb = jnp.concatenate(
+        [scene.cluster_min.T, scene.cluster_max.T, jnp.zeros((2, K))], axis=0
+    ).astype(jnp.float32)
+
+    entry, maskw = pallas_cull.cull_tiles(
+        od8, aabb, tile=tile, interpret=True, with_mask=True
+    )
+    assert maskw.shape == (T, 2, K) and maskw.dtype == jnp.int32
+
+    # Per-ray oracle: the XLA slab test, one ray per "tile".
+    inv = _safe_inv_dir(direction)
+    m_ray, _ = packet_intersect._cull_tile_mask(
+        origin, inv, window, scene.cluster_min, scene.cluster_max, tile=1
+    )  # (n, K) bool
+    m_ray = np.asarray(m_ray).reshape(T, tile, K)
+    mw = np.asarray(maskw).astype(np.uint32)
+    for w in range(2):
+        got = (mw[:, w, :][:, None, :] >> np.arange(32)[None, :, None]) & 1
+        want = m_ray[:, 32 * w : 32 * (w + 1), :].astype(np.uint32)
+        np.testing.assert_array_equal(got, want)
+    # OR over rays == tile-level hit mask
+    np.testing.assert_array_equal(
+        (mw[:, 0] | mw[:, 1]) != 0,
+        np.asarray(entry) < pallas_cull.MISS_ENTRY * 0.5,
+    )
