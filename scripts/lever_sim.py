@@ -27,6 +27,10 @@ from cuda_raytracer_tpu.render import wavefront
 
 SCENE = sys.argv[1] if len(sys.argv) > 1 else "teapot"
 CT = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+REPACK = True  # repack experiment removed: tests/ray unchanged (PERF_NOTES)
+import os
+TILES = tuple(int(t) for t in os.environ.get("SIM_TILES", "64,32,16").split(","))
+MODES = tuple(os.environ.get("SIM_MODES", "none,shipped,masked").split(","))
 WIDTH = HEIGHT = 256
 RPP = 2
 MT_BATCH = 4
@@ -121,7 +125,7 @@ def simulate(state, label, tile, mode):
                 tests += C
                 best = np.minimum(best, mt_closest(ot, dt, k))
     print(
-        f"{SCENE} C={C} K={K} tile={tile:3d} {mode:7s} {label}: "
+        f"{SCENE} C={C} K={K} rp={int(REPACK)} tile={tile:3d} {mode:7s} {label}: "
         f"pairs/tile={pairs / max(n_tiles, 1):6.1f} "
         f"tests/ray={tests * TILE_STRIDE / live:7.0f} "
         f"cull/ray={cull_ops * TILE_STRIDE / live:6.0f}",
@@ -129,7 +133,7 @@ def simulate(state, label, tile, mode):
     )
 
 
-for tile in (64, 32, 16):
-    for mode in ("none", "shipped", "masked"):
+for tile in TILES:
+    for mode in MODES:
         simulate(s0, "primary ", tile, mode)
         simulate(s1s, "b1_sorted", tile, mode)
