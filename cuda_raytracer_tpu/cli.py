@@ -63,8 +63,18 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--packet-skip",
         action="store_true",
-        help="enable the fused kernel's slab-entry early-out (exact; "
-        "see ops/pallas/fused.SKIP_SLACK)",
+        help="enable the fused kernel's per-ray slab-entry early-out "
+        "(exact; see ops/pallas/fused.SKIP_SLACK)",
+    )
+    parser.add_argument(
+        "--packet-tile",
+        type=int,
+        help="rays per packet tile in the cluster intersector (default 64)",
+    )
+    parser.add_argument(
+        "--cluster-tris",
+        type=int,
+        help="triangles per cluster block (multiple of 128; default 256)",
     )
     return parser
 
@@ -102,6 +112,8 @@ def main(argv=None) -> int:
     overrides = dict(sort_rays=sort_rays)
     if args.packet_skip:
         overrides["packet_skip"] = True
+    if args.packet_tile is not None:
+        overrides["packet_tile"] = args.packet_tile
     for key, value in (
         ("width", args.width),
         ("height", args.height),
@@ -111,8 +123,13 @@ def main(argv=None) -> int:
         if value is not None:
             overrides[key] = value
 
+    from cuda_raytracer_tpu.models import cluster as cluster_mod
+
     with metrics.phase("load_scene"):
-        scene = load_scene(args.scene, use_bvh=use_bvh, config_overrides=overrides)
+        scene = load_scene(
+            args.scene, use_bvh=use_bvh, config_overrides=overrides,
+            cluster_tris=args.cluster_tris or cluster_mod.DEFAULT_CLUSTER_TRIS,
+        )
     print(
         f"Scene: {scene.sphere_count} spheres, {scene.triangle_count} triangles, "
         f"{scene.bvh_node_count} BVH nodes",

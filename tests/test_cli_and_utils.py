@@ -57,6 +57,23 @@ def test_cli_end_to_end(tmp_path):
     assert "paths/s" in result.stderr
 
 
+@pytest.mark.slow
+def test_cli_packet_tuning_flags(tmp_path):
+    """--packet-tile / --cluster-tris / --packet-skip reach the intersector
+    config and still render (the knobs scan_skip.py sweeps on hardware)."""
+    result = _run_cli(
+        [
+            f"{REF}/cornell.scene",
+            "--width", "16", "--height", "16", "--spp", "1", "--bounces", "2",
+            "--packet-tile", "32", "--cluster-tris", "128", "--packet-skip",
+            "--out", str(tmp_path / "out.png"),
+        ],
+        cwd=str(tmp_path),
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert (tmp_path / "out.png").exists()
+
+
 def test_cli_no_backend_exit_code(tmp_path):
     # Reference: "No raytracing hardware specified" → exit 2
     # (raytracing.cu:338-342).
