@@ -113,6 +113,12 @@ class RenderConfig:
     # pairs, identical results. Must divide cluster_tris. Default 1 pending
     # on-hardware measurement.
     cull_split: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # Morton reorder engine: "argsort" = XLA bitonic argsort (total order);
+    # "count" = stable matmul counting sort on the key's high origin bits
+    # (ops/sort.py) — bit-identical images either way (any permutation is;
+    # the unsort restores ray order). Default pending hardware A/B
+    # (scripts/scan_sort.py).
+    sort_engine: str = dataclasses.field(metadata=dict(static=True), default="argsort")
 
 
 @jax.tree_util.register_dataclass

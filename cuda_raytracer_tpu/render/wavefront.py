@@ -628,14 +628,32 @@ def reorder_rays(
     R = keys.shape[0]
     cs = chunk_size if chunk_size is not None else sort_chunk_size(R)
     packed = _pack_state(state)
+    nc = R // cs
     # The permutation is saved as a checkpoint residual ("sort_order",
     # trace_wavefront's policy): it costs 4 bytes/ray/bounce, and saving it
     # turns the backward rematerialisation's argsort (~3 ms at R=131k, the
-    # bitonic sort is O(cs log^2 cs)) back into a plain gather.
+    # bitonic sort is O(cs log^2 cs)) back into a plain gather (or, for the
+    # counting engine, a unique-index scatter).
+    if scene.config.sort_engine == "count":
+        # Stable matmul counting sort (ops/sort.py): dest[i] is where row i
+        # moves, chunk-local. Applied as a unique-index scatter; its VJP is
+        # a plain gather by dest. Dead rays land last per chunk, like the
+        # argsort (dead keys are maximal), so live-prefix recounts hold.
+        from cuda_raytracer_tpu.ops import sort as sort_mod
+
+        if cs == R:
+            dest = sort_mod.bucket_sort_dest(keys)
+        else:
+            dest = jax.vmap(sort_mod.bucket_sort_dest)(keys.reshape(nc, cs))
+            dest = (dest + (jnp.arange(nc, dtype=jnp.int32) * cs)[:, None]).reshape(R)
+        dest = checkpoint_name(dest, "sort_order")
+        permuted = jnp.zeros_like(packed).at[dest].set(
+            packed, unique_indices=True
+        )
+        return _unpack_state(permuted)
     if cs == R:
         order = checkpoint_name(jnp.argsort(keys), "sort_order")
         return _unpack_state(packed[order])
-    nc = R // cs
     order = checkpoint_name(jnp.argsort(keys.reshape(nc, cs), axis=1), "sort_order")
     permuted = jnp.take_along_axis(
         packed.reshape(nc, cs, packed.shape[1]), order[:, :, None], axis=1

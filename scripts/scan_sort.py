@@ -58,26 +58,30 @@ def time_grad_step(scene, params, target):
     return (time.perf_counter() - start) / REPEATS
 
 
-def scan_depths(depths):
+def scan_depths(depths, engines=("argsort",)):
     """``depth`` -1 means sorting off entirely; 0 means sort every bounce
-    (RenderConfig.sort_depth falsy-0 semantics, wavefront.py)."""
+    (RenderConfig.sort_depth falsy-0 semantics, wavefront.py). ``engines``
+    A/Bs the reorder implementation (argsort vs the matmul counting sort,
+    ops/sort.py) at each depth."""
     results = []
     for depth in depths:
-        scene = load_scene(
-            "/root/reference/teapot.scene",
-            config_overrides=dict(
-                width=WIDTH, height=HEIGHT,
-                rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES,
-                sort_rays=depth >= 0, sort_depth=max(depth, 0),
-            ),
-        )
-        params, _ = diff.split_params(scene)
-        target = jnp.zeros((scene.num_pixels, 3), jnp.float32)
-        t = time_grad_step(scene, params, target)
-        row = {"scan": "sort_depth", "sort_depth": depth,
-               "ms_per_step": round(t * 1e3, 2)}
-        print(json.dumps(row), flush=True)
-        results.append(row)
+        for engine in (engines if depth >= 0 else engines[:1]):
+            scene = load_scene(
+                "/root/reference/teapot.scene",
+                config_overrides=dict(
+                    width=WIDTH, height=HEIGHT,
+                    rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES,
+                    sort_rays=depth >= 0, sort_depth=max(depth, 0),
+                    sort_engine=engine,
+                ),
+            )
+            params, _ = diff.split_params(scene)
+            target = jnp.zeros((scene.num_pixels, 3), jnp.float32)
+            t = time_grad_step(scene, params, target)
+            row = {"scan": "sort_depth", "sort_depth": depth,
+                   "engine": engine, "ms_per_step": round(t * 1e3, 2)}
+            print(json.dumps(row), flush=True)
+            results.append(row)
     return results
 
 
@@ -108,10 +112,16 @@ def main() -> int:
     parser.add_argument("--fullres", action="store_true",
                         help="also scan RAY_BLOCK at 1000x1000x10spp "
                              "(several full-res compiles; slow cold)")
+    parser.add_argument("--engines", default="argsort",
+                        help="comma list of sort engines to A/B "
+                             "(argsort,count)")
     args = parser.parse_args()
     enable_persistent_cache()
 
-    results = scan_depths([int(d) for d in args.depths.split(",") if d != ""])
+    results = scan_depths(
+        [int(d) for d in args.depths.split(",") if d != ""],
+        engines=tuple(args.engines.split(",")),
+    )
     if args.fullres:
         results += scan_ray_block([1 << 16, 1 << 17, 1 << 18])
 
