@@ -336,6 +336,20 @@ def _fused_kernel(
 MT_BATCH = 4
 
 
+def _mt_batch_for(tile: int, C: int) -> int:
+    """Batch width per MT call: keep each vector op at ≥ MT_BATCH×64×256
+    elements so small tiles / small C don't fall back into the
+    latency-bound narrow regime; bigger batches also amortise the
+    per-group scalar staging, at the cost of coarser skip granularity."""
+    target = MT_BATCH * 64 * 256
+    b = MT_BATCH
+    # Cap at 16: beyond that the skip granularity (one predicate per group)
+    # costs more in unskippable pairs than the extra width buys.
+    while b < 16 and b * tile * C < target:
+        b *= 2
+    return b
+
+
 def _mt_batch(raysT: jnp.ndarray, blks, tile: int, C: int):
     """Möller–Trumbore of one ray tile against B cluster blocks at once.
 
@@ -531,6 +545,8 @@ def _fused_kernel_resident(
             ent_dma(i, slot).wait()
             mask_dma(i, slot).wait()
 
+    B = blkB_buf.shape[0]  # MT batch width (_mt_batch_for)
+
     def flush(tc, rc):
         """Sweep the ring's ``tc`` tile segments / ``rc`` pairs (rc > 0)."""
         rs_smem[tc] = rc  # terminator for the last segment
@@ -549,13 +565,13 @@ def _fused_kernel_resident(
             row = pl.ds(rt_smem[i], 1)
             seg_lo = rs_smem[i]
             seg_hi = rs_smem[i + 1]
-            n_groups = pl.cdiv(seg_hi - seg_lo, MT_BATCH)
+            n_groups = pl.cdiv(seg_hi - seg_lo, B)
 
             def stage_group(base):
-                # Stage MT_BATCH same-tile blocks; tail slots clamp to the
+                # Stage B same-tile blocks; tail slots clamp to the
                 # segment's last pair (duplicates are idempotent under the
                 # min-fold accumulate).
-                for j in range(MT_BATCH):
+                for j in range(B):
                     p = jnp.minimum(base + j, seg_hi - 1)
                     blkB_buf[pl.ds(j, 1)] = blocks_ref[pl.ds(pk_smem[p], 1)]
 
@@ -565,7 +581,7 @@ def _fused_kernel_resident(
 
                 def group_body(g, bt):
                     best, tri = bt
-                    base = seg_lo + g * MT_BATCH
+                    base = seg_lo + g * B
                     stage_group(base)
                     b_g, tr_g = _mt_batch(raysT, blkB_buf[:, :, :], tile, C)
                     upd = (b_g < best) | ((b_g == best) & (tr_g > tri))
@@ -595,10 +611,10 @@ def _fused_kernel_resident(
             lane_w = jax.lax.shift_right_logical(lanes, 5)
 
             def group_body_skip(g, _):
-                base = seg_lo + g * MT_BATCH
+                base = seg_lo + g * B
                 bound = jnp.minimum(acc_best[:, :], win)
                 needv = jnp.zeros((1, tile), jnp.bool_)
-                for j in range(MT_BATCH):
+                for j in range(B):
                     p = jnp.minimum(base + j, seg_hi - 1)
                     k = pk_smem[p]
                     e = ent_smem[slot * EW + k]
@@ -851,7 +867,7 @@ def fused_closest_hit(
             pltpu.SMEM((RINGT + 1,), jnp.int32),
             pltpu.SMEM((RING,), jnp.int32),
             pltpu.VMEM((2, 8, lanes), jnp.float32),
-            pltpu.VMEM((MT_BATCH, 16, C), jnp.float32),
+            pltpu.VMEM((_mt_batch_for(tile, C), 16, C), jnp.float32),
             *skip_scratch,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

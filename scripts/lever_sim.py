@@ -33,7 +33,7 @@ TILES = tuple(int(t) for t in os.environ.get("SIM_TILES", "64,32,16").split(",")
 MODES = tuple(os.environ.get("SIM_MODES", "none,shipped,masked").split(","))
 WIDTH = HEIGHT = 256
 RPP = 2
-MT_BATCH = 4
+MT_BATCH = int(os.environ.get("SIM_GROUP", "4"))
 TILE_STRIDE = 8  # sample every Nth tile: statistics, not exact counts
 HIT_EPS = 0.005
 MISS = 1e30
