@@ -80,6 +80,35 @@ def main() -> int:
             )
             check(f"{name}/fused_skip/tile{tile}", ref, got)
 
+    # Small-cluster table (C=128) and the paired-C=64 two-level cull
+    # (cull_split=2): the candidate round-2 default config. Same rays, new
+    # cluster cut — parity vs the XLA path on the same scene variant.
+    for ct, split in ((128, 1), (128, 2)):
+        sc2 = load_scene(
+            "/root/reference/teapot.scene",
+            config_overrides=dict(
+                width=128, height=128, rays_per_pixel=2, bounces=4,
+                cull_split=split,
+            ),
+            cluster_tris=ct,
+        )
+        cap2 = sc2.num_clusters
+        for name, st in (("teapot_primary", s0), ("teapot_b1_sorted", s1s)):
+            alive = jnp.any(st.transmitted != 0.0, axis=-1)
+            cl = jnp.where(alive, t0, -1.0)
+            ref = pi.closest_hit_packet(
+                sc2, st.origin, st.direction, cl, i0, cap=cap2, backend="xla"
+            )
+            for tile, skip in ((32, True), (64, True), (32, False)):
+                got = pi.closest_hit_packet(
+                    sc2, st.origin, st.direction, cl, i0,
+                    cap=cap2, tile=tile, backend="fused", skip=skip,
+                )
+                check(
+                    f"{name}/fused_C{ct}_split{split}_skip{int(skip)}"
+                    f"/tile{tile}", ref, got,
+                )
+
     report["ok"] = ok
     out_path = sys.argv[1] if len(sys.argv) > 1 else "TPU_PARITY.json"
     with open(out_path, "w") as f:
