@@ -76,6 +76,19 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         help="triangles per cluster block (multiple of 128; default 256)",
     )
+    parser.add_argument(
+        "--cull-split",
+        type=int,
+        help="tight sub-AABBs per cluster block in the cull "
+        "(must divide cluster-tris; default 1)",
+    )
+    parser.add_argument(
+        "--cull-hier",
+        type=int,
+        help="hierarchical cull: clusters per super-AABB gating 128-box "
+        "chunks of the main cull (cull-hier * cull-split must divide 128; "
+        "0 = flat cull, the default)",
+    )
     return parser
 
 
@@ -114,6 +127,10 @@ def main(argv=None) -> int:
         overrides["packet_skip"] = True
     if args.packet_tile is not None:
         overrides["packet_tile"] = args.packet_tile
+    if args.cull_split is not None:
+        overrides["cull_split"] = args.cull_split
+    if args.cull_hier is not None:
+        overrides["cull_hier"] = args.cull_hier
     for key, value in (
         ("width", args.width),
         ("height", args.height),

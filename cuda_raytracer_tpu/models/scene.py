@@ -113,6 +113,16 @@ class RenderConfig:
     # pairs, identical results. Must divide cluster_tris. Default 1 pending
     # on-hardware measurement.
     cull_split: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # Hierarchical cull: G > 0 groups G consecutive clusters (BVH-cut DFS
+    # order, so siblings) under one tight super-AABB; a cheap first cull
+    # pass over the supers gates 128-box chunks of the main cull with
+    # per-tile scalar predicates (ops/pallas/cull.cull_tiles_gated), so
+    # most of the (tile, K*split) slab matrix is never computed. Gating is
+    # conservative (a sub-box hit implies its super hits), so entries and
+    # masks are bit-equal to the flat cull. G * cull_split must divide 128.
+    # 0 = flat cull. Default pending on-hardware measurement
+    # (scripts/scan_skip.py).
+    cull_hier: int = dataclasses.field(metadata=dict(static=True), default=0)
     # Morton reorder engine: "argsort" = XLA bitonic argsort (total order);
     # "count" = stable matmul counting sort on the key's high origin bits
     # (ops/sort.py) — bit-identical images either way (any permutation is;

@@ -41,32 +41,41 @@ RAYS_PER_PIXEL = 2
 BOUNCES = 10
 REPEATS = 10
 
-# (packet_tile, cluster_tris, packet_skip, cull_split); the shipped
-# round-2 config (64, 256, False, 1) is the bit-equality reference.
-# cull_split=2 at C=128 is the "paired C=64 clusters" design from
-# PERF_NOTES roadmap 0: cull granularity 64 tris (tight sub-boxes,
+# (packet_tile, cluster_tris, packet_skip, cull_split, cull_hier); the
+# shipped round-2 config (64, 256, False, 1, 0) is the bit-equality
+# reference. cull_split=2 at C=128 is the "paired C=64 clusters" design
+# from PERF_NOTES roadmap 0: cull granularity 64 tris (tight sub-boxes,
 # OR-reduced per block), sweep granularity 128 (lane-aligned).
+# cull_hier=G adds the super-AABB pre-pass that gates 128-box chunks of
+# the main cull (sim: 4-9x fewer cull ops at C=128/S=2, see
+# packet_intersect's hier comment) — it only engages when K*S >= 256,
+# i.e. the small-C configs where cull cost grows.
 CONFIGS = [
-    (64, 256, False, 1),
-    (64, 256, True, 1),
-    (32, 256, True, 1),
-    (64, 128, True, 1),
-    (32, 128, True, 1),
-    (16, 128, True, 1),
-    (32, 128, False, 1),
-    (32, 128, True, 2),
-    (64, 128, True, 2),
-    (32, 256, True, 4),
+    (64, 256, False, 1, 0),
+    (64, 256, True, 1, 0),
+    (32, 256, True, 1, 0),
+    (64, 128, True, 1, 0),
+    (32, 128, True, 1, 0),
+    (16, 128, True, 1, 0),
+    (32, 128, False, 1, 0),
+    (32, 128, True, 2, 0),
+    (64, 128, True, 2, 0),
+    (32, 256, True, 4, 0),
+    (32, 128, True, 2, 16),
+    (32, 128, True, 2, 8),
+    (64, 128, True, 2, 16),
+    (32, 128, True, 4, 8),
 ]
 
 
-def bench_scene(tile, ct, skip, split=1):
+def bench_scene(tile, ct, skip, split=1, hier=0):
     return load_scene(
         "/root/reference/teapot.scene",
         config_overrides=dict(
             width=WIDTH, height=HEIGHT,
             rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES,
             packet_tile=tile, packet_skip=skip, cull_split=split,
+            cull_hier=hier,
         ),
         cluster_tris=ct,
     )
@@ -95,8 +104,8 @@ def main() -> int:
     parser.add_argument("--fullres", action="store_true",
                         help="also time 1000x1000x10spp teapot forward")
     parser.add_argument("--configs", type=str, default=None,
-                        help="comma list tile:ct:skip[:split], "
-                             "e.g. 64:256:1,32:128:1:2")
+                        help="comma list tile:ct:skip[:split[:hier]], "
+                             "e.g. 64:256:1,32:128:1:2:16")
     args = parser.parse_args()
     enable_persistent_cache()
 
@@ -104,7 +113,8 @@ def main() -> int:
     if args.configs:
         configs = [
             (int(f[0]), int(f[1]), bool(int(f[2])),
-             int(f[3]) if len(f) > 3 else 1)
+             int(f[3]) if len(f) > 3 else 1,
+             int(f[4]) if len(f) > 4 else 0)
             for f in (x.split(":") for x in args.configs.split(","))
         ]
 
@@ -113,37 +123,40 @@ def main() -> int:
     # ORDER nowhere (MT math is per-pair identical and the accumulate is an
     # exact min-fold), so all configs must agree bit-for-bit.
     fb_ref = np.asarray(pipeline.render_framebuffer(bench_scene(64, 256, False)))
-    for tile, ct, skip, split in configs[1:]:
+    for tile, ct, skip, split, hier in configs[1:]:
         fb = np.asarray(
-            pipeline.render_framebuffer(bench_scene(tile, ct, skip, split))
+            pipeline.render_framebuffer(bench_scene(tile, ct, skip, split, hier))
         )
         equal = bool((fb_ref == fb).all())
         print(json.dumps({"scan": "bitequal", "tile": tile, "ct": ct,
                           "packet_skip": skip, "cull_split": split,
-                          "equal": equal}), flush=True)
+                          "cull_hier": hier, "equal": equal}), flush=True)
         if not equal:
             print(json.dumps({"scan": "mismatch_frac",
                               "frac": float((fb_ref != fb).mean())}))
             return 1
 
-    for tile, ct, skip, split in configs:
-        t = time_grad_step(bench_scene(tile, ct, skip, split))
+    for tile, ct, skip, split, hier in configs:
+        t = time_grad_step(bench_scene(tile, ct, skip, split, hier))
         print(json.dumps({"scan": "grad_step", "tile": tile, "ct": ct,
                           "packet_skip": skip, "cull_split": split,
+                          "cull_hier": hier,
                           "ms_per_step": round(t * 1e3, 2)}), flush=True)
 
     if args.fullres:
-        for tile, ct, skip, split in configs:
+        for tile, ct, skip, split, hier in configs:
             s = load_scene(
                 "/root/reference/teapot.scene",
                 config_overrides=dict(rays_per_pixel=10, packet_tile=tile,
-                                      packet_skip=skip, cull_split=split),
+                                      packet_skip=skip, cull_split=split,
+                                      cull_hier=hier),
                 cluster_tris=ct,
             )
             _img, seconds = pipeline.render_timed(s)  # compile+warm
             _img, seconds = pipeline.render_timed(s)
             print(json.dumps({"scan": "fullres_fwd", "tile": tile, "ct": ct,
                               "packet_skip": skip, "cull_split": split,
+                              "cull_hier": hier,
                               "spp": 10, "seconds": round(seconds, 3)}),
                   flush=True)
     return 0

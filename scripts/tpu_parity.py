@@ -83,12 +83,15 @@ def main() -> int:
     # Small-cluster table (C=128) and the paired-C=64 two-level cull
     # (cull_split=2): the candidate round-2 default config. Same rays, new
     # cluster cut — parity vs the XLA path on the same scene variant.
-    for ct, split in ((128, 1), (128, 2)):
+    # cull_hier=16 adds the super-AABB pre-pass + scalar-prefetch gated
+    # cull kernel (ops/pallas/cull.cull_tiles_gated) — bit-equality of
+    # THAT kernel's Mosaic lowering is what the hier rows certify.
+    for ct, split, hier in ((128, 1, 0), (128, 2, 0), (128, 2, 16)):
         sc2 = load_scene(
             "/root/reference/teapot.scene",
             config_overrides=dict(
                 width=128, height=128, rays_per_pixel=2, bounces=4,
-                cull_split=split,
+                cull_split=split, cull_hier=hier,
             ),
             cluster_tris=ct,
         )
@@ -105,8 +108,8 @@ def main() -> int:
                     cap=cap2, tile=tile, backend="fused", skip=skip,
                 )
                 check(
-                    f"{name}/fused_C{ct}_split{split}_skip{int(skip)}"
-                    f"/tile{tile}", ref, got,
+                    f"{name}/fused_C{ct}_split{split}_hier{hier}"
+                    f"_skip{int(skip)}/tile{tile}", ref, got,
                 )
 
     report["ok"] = ok

@@ -59,13 +59,15 @@ def test_cli_end_to_end(tmp_path):
 
 @pytest.mark.slow
 def test_cli_packet_tuning_flags(tmp_path):
-    """--packet-tile / --cluster-tris / --packet-skip reach the intersector
-    config and still render (the knobs scan_skip.py sweeps on hardware)."""
+    """--packet-tile / --cluster-tris / --packet-skip / --cull-split /
+    --cull-hier reach the intersector config and still render (the knobs
+    scan_skip.py sweeps on hardware)."""
     result = _run_cli(
         [
             f"{REF}/cornell.scene",
             "--width", "16", "--height", "16", "--spp", "1", "--bounces", "2",
             "--packet-tile", "32", "--cluster-tris", "128", "--packet-skip",
+            "--cull-split", "2", "--cull-hier", "16",
             "--out", str(tmp_path / "out.png"),
         ],
         cwd=str(tmp_path),

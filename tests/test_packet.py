@@ -385,3 +385,106 @@ def test_cull_mask_bits_match_per_ray_slab():
         (mw[:, 0] | mw[:, 1]) != 0,
         np.asarray(entry) < pallas_cull.MISS_ENTRY * 0.5,
     )
+
+
+def test_cull_hier_matches_flat():
+    """The hierarchical cull (cull_hier=G: super-AABB pre-pass gating
+    128-column chunks of the main cull) must be bit-identical to the flat
+    cull end to end: the gate is conservative (a sub-box hit implies its
+    super-box hits), so gated-off chunks are exactly the all-miss chunks.
+    Covers the fused path with and without the per-ray early-out (whose
+    entry/mask inputs now come from the gated kernel) and the legacy
+    pallas sweep path."""
+    n = 384
+    mk = lambda hier: _scene_with_clusters(
+        tri_count=6000, cluster_tris=32,
+        config_overrides=dict(
+            cull_split=2, **(dict(cull_hier=hier) if hier else {})
+        ),
+    )
+    flat, hier = mk(0), mk(16)
+    KS = hier.cluster_min.shape[0]
+    assert KS >= 256, f"hier gate idle at KS={KS}; grow tri_count"
+    origin, direction = _random_rays(flat, n)
+    t0 = jnp.full((n,), intersect.MISS)
+    # a few dead rays: their tiles must gate off cleanly
+    t0 = t0.at[5::17].set(-1.0)
+    i0 = jnp.full((n,), -1, jnp.int32)
+
+    def run(scene, **kw):
+        return packet_intersect.closest_hit_packet(
+            scene, origin, direction, t0, i0,
+            cap=scene.num_clusters, tile=64, **kw
+        )
+
+    for kw in (
+        dict(backend="fused_interpret"),
+        dict(backend="fused_interpret", skip=True),
+        dict(backend="pallas_interpret"),
+        dict(backend="pallas_interpret", two_round=True),
+    ):
+        t_f, i_f, s_f = run(flat, **kw)
+        t_h, i_h, s_h = run(hier, **kw)
+        assert int(s_f) == int(s_h) == 0, kw
+        np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_h), err_msg=str(kw))
+        np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_h), err_msg=str(kw))
+
+
+def test_cull_gated_kernel_identity():
+    """cull_tiles_gated == cull_tiles on the same padded table, both with
+    all-ones gates (every chunk computed) and with gates derived from the
+    actual chunk contents — entries AND packed per-ray mask words."""
+    from cuda_raytracer_tpu.ops.pallas import cull as pallas_cull
+
+    scene = _scene_with_clusters(tri_count=4000, cluster_tris=32)
+    K = scene.num_clusters
+    tile = 64
+    n = 256
+    origin, direction = _random_rays(scene, n)
+    window = jnp.full((n,), intersect.MISS)
+    window = window.at[::9].set(-1.0)
+    T = n // tile
+
+    comps = [origin[:, 0], origin[:, 1], origin[:, 2],
+             direction[:, 0], direction[:, 1], direction[:, 2],
+             window, jnp.zeros((n,), jnp.float32)]
+    od8 = jnp.stack([v.reshape(T, tile) for v in comps], axis=1)
+    od8 = jnp.pad(od8, ((0, 1), (0, 0), (0, 128 - tile)))
+
+    GCH = pallas_cull.GATE_CHUNK
+    Kp = -(-K // GCH) * GCH
+    pad_cols = jnp.full((3, Kp - K), 1e17, jnp.float32)
+    aabb = jnp.concatenate(
+        [
+            jnp.concatenate([scene.cluster_min.T.astype(jnp.float32), pad_cols], axis=1),
+            jnp.concatenate([scene.cluster_max.T.astype(jnp.float32), pad_cols], axis=1),
+            jnp.zeros((2, Kp), jnp.float32),
+        ],
+        axis=0,
+    )
+    nch = Kp // GCH
+    e_ref, m_ref = pallas_cull.cull_tiles(
+        od8, aabb, tile=tile, interpret=True, with_mask=True
+    )
+
+    ones = jnp.full((T, -(-nch // 32)), -1, jnp.int32)  # all bits set
+    e_a, m_a = pallas_cull.cull_tiles_gated(
+        od8, aabb, ones, tile=tile, interpret=True, with_mask=True
+    )
+    np.testing.assert_array_equal(np.asarray(e_ref), np.asarray(e_a))
+    np.testing.assert_array_equal(np.asarray(m_ref), np.asarray(m_a))
+
+    # Real gates: chunk live iff any of its columns is hit in the flat cull
+    # (the tightest correct gate; the super-box gate is a superset of it).
+    hit = np.asarray(e_ref) < pallas_cull.MISS_ENTRY * 0.5  # (T, Kp)
+    gate = hit.reshape(T, nch, GCH).any(axis=2)
+    Wg = -(-nch // 32)
+    bits = np.zeros((T, Wg * 32), np.int64)
+    bits[:, :nch] = gate
+    words = (bits.reshape(T, Wg, 32) << np.arange(32)).sum(axis=2)
+    gates = jnp.asarray((words & 0xFFFFFFFF).astype(np.uint32).view(np.int32))
+    e_b, m_b = pallas_cull.cull_tiles_gated(
+        od8, aabb, gates, tile=tile, interpret=True, with_mask=True
+    )
+    np.testing.assert_array_equal(np.asarray(e_ref), np.asarray(e_b))
+    np.testing.assert_array_equal(np.asarray(m_ref), np.asarray(m_b))
