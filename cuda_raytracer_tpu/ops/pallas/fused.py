@@ -343,9 +343,13 @@ def _mt_batch_for(tile: int, C: int) -> int:
     per-group scalar staging, at the cost of coarser skip granularity."""
     target = MT_BATCH * 64 * 256
     b = MT_BATCH
-    # Cap at 16: beyond that the skip granularity (one predicate per group)
-    # costs more in unskippable pairs than the extra width buys.
-    while b < 16 and b * tile * C < target:
+    # Cap at 16 (32 for tiny tiles, which otherwise top out at half the
+    # width target): beyond that the skip granularity (one predicate per
+    # group) costs more in unskippable pairs than the extra width buys —
+    # though the loss is modest (sim: B=4 → 16 costs ~20% more masked MT
+    # tests at tile=32/C=128).
+    cap = 32 if tile <= 16 else 16
+    while b < cap and b * tile * C < target:
         b *= 2
     return b
 
