@@ -29,9 +29,26 @@ def main() -> int:
     parser.add_argument("scenes", nargs="*", default=None)
     parser.add_argument("--spp", default="1,10,100")
     parser.add_argument("--size", type=int, default=1000)
+    # Intersector knobs, for A/B-ing candidate default configs on hardware
+    # (same dimensions as scripts/scan_skip.py).
+    parser.add_argument("--packet-tile", type=int, default=None)
+    parser.add_argument("--cluster-tris", type=int, default=None)
+    parser.add_argument("--packet-skip", action="store_true")
+    parser.add_argument("--cull-split", type=int, default=None)
+    parser.add_argument("--cull-hier", type=int, default=None)
     args = parser.parse_args()
     scenes = args.scenes or list(REFERENCE)
     spps = [int(s) for s in args.spp.split(",")]
+    knobs = {
+        k: v
+        for k, v in dict(
+            packet_tile=args.packet_tile,
+            packet_skip=args.packet_skip or None,
+            cull_split=args.cull_split,
+            cull_hier=args.cull_hier,
+        ).items()
+        if v is not None
+    }
 
     import warnings
 
@@ -52,7 +69,11 @@ def main() -> int:
                 f"/root/reference/{name}.scene",
                 config_overrides=dict(
                     width=args.size, height=args.size,
-                    rays_per_pixel=spp, bounces=10,
+                    rays_per_pixel=spp, bounces=10, **knobs,
+                ),
+                **(
+                    dict(cluster_tris=args.cluster_tris)
+                    if args.cluster_tris else {}
                 ),
             )
             _, secs = render_timed(scene)  # includes first-pass compile
