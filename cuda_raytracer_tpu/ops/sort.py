@@ -56,6 +56,16 @@ def bucket_sort_dest(keys: jnp.ndarray) -> jnp.ndarray:
     bucket: element i moves to position dest[i]; buckets ascend, dead rays
     (DEAD_RAY_KEY) land strictly last, ties keep source order."""
     n = keys.shape[0]
+    # The exactness argument above requires every cumsum'd count (and so
+    # every destination) to stay below 2^24, where f32 integers are exact.
+    # Chunked reorders keep n ≤ 262144, but the global-sort fallback
+    # (wavefront.sort_chunk_size) can pass a whole wavefront — fail loudly
+    # rather than let a rounded f32 dest silently drop rays in the scatter.
+    if n >= 1 << 24:
+        raise ValueError(
+            f"bucket_sort_dest: {n} keys ≥ 2^24 — f32 rank arithmetic would "
+            "round; sort in chunks (RenderConfig.sort_chunk_size)"
+        )
     pad = (-n) % BLK
     kp = jnp.pad(keys, (0, pad), constant_values=DEAD_RAY_KEY)
     dead = kp == DEAD_RAY_KEY

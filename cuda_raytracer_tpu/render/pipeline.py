@@ -140,16 +140,20 @@ def render_framebuffer(
     framebuffer = jnp.zeros((scene.num_pixels, 3), jnp.float32)
     remaining = cfg.rays_per_pixel
     fingerprint = None
+    suspect_total = jnp.zeros((), jnp.int32)
     if checkpoint_path is not None:
         fingerprint = ckpt.scene_fingerprint(scene)
         restored = ckpt.load_checkpoint(checkpoint_path, fingerprint)
         if restored is not None:
-            fb_np, samples_done = restored
+            fb_np, samples_done, suspects_done = restored
             framebuffer = jnp.asarray(fb_np)
             remaining = cfg.rays_per_pixel - samples_done
+            # Re-enforce the certificate over the passes we are NOT
+            # re-running: without this, resuming a render whose earlier
+            # passes overflowed would launder the suspect count to zero.
+            suspect_total = suspect_total + jnp.int32(suspects_done)
 
     passes_done = 0
-    suspect_total = jnp.zeros((), jnp.int32)
     while remaining:
         chunk = min(remaining, cfg.max_rays_per_pixel_per_pass)
         remaining -= chunk
@@ -167,11 +171,14 @@ def render_framebuffer(
             passes_done % checkpoint_every == 0 or not remaining
         ):
             framebuffer.block_until_ready()
+            # int() costs no extra sync: the block_until_ready + host copy
+            # above already round-trip the device at this boundary.
             ckpt.save_checkpoint(
                 checkpoint_path,
                 np.asarray(framebuffer),
                 cfg.rays_per_pixel - remaining,
                 fingerprint,
+                suspects=int(suspect_total),
             )
         if metrics is not None:
             metrics.record("samples_done", cfg.rays_per_pixel - remaining)

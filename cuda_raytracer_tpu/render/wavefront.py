@@ -553,6 +553,14 @@ def resolved_intersector(scene: Scene) -> str:
     intermediates per dot product, the kernel keeps them in registers);
     brute for small scenes elsewhere (CPU oracle path)."""
     mode = scene.config.intersector
+    if mode not in ("auto", "brute", "packet", "bvh"):
+        # Fail fast like the CLI does for unknown flags — a typo'd (or
+        # removed, e.g. round 1's "clustered") mode must not silently fall
+        # through to a different intersector.
+        raise ValueError(
+            f"unknown intersector {mode!r}; "
+            "expected auto | brute | packet | bvh"
+        )
     if mode == "auto":
         mode = "brute" if scene.triangle_count <= 512 else "packet"
     if scene.bvh_node_count <= 1 or scene.triangle_count == 0:
@@ -742,11 +750,12 @@ def _unsort_by_ray_id(collected: jnp.ndarray, ray_id: jnp.ndarray) -> jnp.ndarra
     """collected rows restored to ray-id order.
 
     Reordering is chunk-local (SORT_CHUNK), so chunk c always holds exactly
-    the ids [c*cs, (c+1)*cs) — the unsort is a per-chunk argsort + gather.
-    The custom VJP exploits that ids are a within-chunk permutation:
-    backward is a plain per-chunk gather by the local ids — where XLA's
-    autodiff of a gather emits a scatter-add tree (~16 ms at R=131k vs
-    ~1.5 ms for the gather)."""
+    the ids [base + c*cs, base + (c+1)*cs) — base is 0 for whole-pass
+    wavefronts and the block offset for pipeline._render_block — and the
+    unsort is a per-chunk argsort + gather. The custom VJP exploits that
+    ids are a within-chunk permutation: backward is a plain per-chunk
+    gather by the chunk-local ids — where XLA's autodiff of a gather emits
+    a scatter-add tree (~16 ms at R=131k vs ~1.5 ms for the gather)."""
     R = ray_id.shape[0]
     cs = sort_chunk_size(R)
     if cs == R:
@@ -767,11 +776,13 @@ def _unsort_bwd(ray_id, g):
     R = ray_id.shape[0]
     cs = sort_chunk_size(R)
     if cs == R:
-        return g[ray_id], None
+        # Subtract the base so non-zero-based blocks (_render_block's
+        # ray_id = block_lo + arange) stay in range — a raw g[ray_id]
+        # would clamp out-of-range ids and silently corrupt gradients.
+        return g[ray_id - ray_id.min()], None
     nc = R // cs
-    local = ray_id.reshape(nc, cs) - (
-        jnp.arange(nc, dtype=ray_id.dtype)[:, None] * cs
-    )
+    ids = ray_id.reshape(nc, cs)
+    local = ids - ids.min(axis=1, keepdims=True)
     dg = jnp.take_along_axis(g.reshape(nc, cs, g.shape[1]), local[:, :, None], axis=1)
     return dg.reshape(R, g.shape[1]), None
 

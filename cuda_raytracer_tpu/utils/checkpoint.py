@@ -36,9 +36,18 @@ def scene_fingerprint(scene: Scene) -> str:
 
 
 def save_checkpoint(
-    path: str, framebuffer: np.ndarray, samples_done: int, fingerprint: str
+    path: str,
+    framebuffer: np.ndarray,
+    samples_done: int,
+    fingerprint: str,
+    suspects: int = 0,
 ) -> None:
-    """Atomic write (tmp + rename) so a crash mid-save never corrupts."""
+    """Atomic write (tmp + rename) so a crash mid-save never corrupts.
+
+    ``suspects`` persists the closest-hit exactness certificate's running
+    count: a resumed render must re-enforce the certificate over the passes
+    it did NOT re-run, otherwise resuming a finished-but-suspect render
+    would silently return the exact image the certificate rejected."""
     directory = os.path.dirname(os.path.abspath(path))
     os.makedirs(directory, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
@@ -49,6 +58,7 @@ def save_checkpoint(
                 framebuffer=np.asarray(framebuffer),
                 samples_done=np.int64(samples_done),
                 fingerprint=np.bytes_(fingerprint.encode()),
+                suspects=np.int64(suspects),
             )
         os.replace(tmp, path)
     except BaseException:
@@ -59,12 +69,15 @@ def save_checkpoint(
 
 def load_checkpoint(
     path: str, fingerprint: str
-) -> Optional[Tuple[np.ndarray, int]]:
-    """Returns (framebuffer, samples_done) or None when absent/mismatched."""
+) -> Optional[Tuple[np.ndarray, int, int]]:
+    """Returns (framebuffer, samples_done, suspects) or None when
+    absent/mismatched. Checkpoints written before the certificate was
+    persisted load with suspects=0."""
     if not os.path.exists(path):
         return None
     with np.load(path) as data:
         stored = bytes(data["fingerprint"]).decode()
         if stored != fingerprint:
             return None
-        return data["framebuffer"].copy(), int(data["samples_done"])
+        suspects = int(data["suspects"]) if "suspects" in data.files else 0
+        return data["framebuffer"].copy(), int(data["samples_done"]), suspects

@@ -38,12 +38,9 @@ def main() -> int:
     args = parser.parse_args()
 
     if args.cpu:
-        import jax
+        from cuda_raytracer_tpu.utils.backend import force_cpu
 
-        jax.config.update("jax_platforms", "cpu")
-        from jax.extend.backend import clear_backends
-
-        clear_backends()
+        force_cpu()
 
     import dataclasses
 

@@ -85,21 +85,26 @@ def structural_check(img: np.ndarray, sky_visible: bool) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    out_path = args[0] if args else "GOLDEN.json"
-    spp = 64
-    size = 1000
-    scenes = GOLDEN_SCENES + STRUCTURAL_SCENES
-    merge = False
-    for flag in sys.argv[1:]:
-        if flag.startswith("--spp="):
-            spp = int(flag.split("=")[1])
-        if flag.startswith("--size="):
-            size = int(flag.split("=")[1])
-        if flag.startswith("--scenes="):
-            scenes = tuple(flag.split("=")[1].split(","))
-        if flag == "--merge":
-            merge = True  # update an existing report instead of replacing it
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("out_path", nargs="?", default="GOLDEN.json")
+    parser.add_argument("--spp", type=int, default=64)
+    parser.add_argument("--size", type=int, default=1000)
+    parser.add_argument("--scenes", default=None, help="comma list")
+    parser.add_argument(
+        "--merge", action="store_true",
+        help="update an existing report instead of replacing it",
+    )
+    parsed = parser.parse_args()
+    out_path = parsed.out_path
+    spp = parsed.spp
+    size = parsed.size
+    merge = parsed.merge
+    scenes = (
+        tuple(parsed.scenes.split(","))
+        if parsed.scenes else GOLDEN_SCENES + STRUCTURAL_SCENES
+    )
 
     import time
     import warnings

@@ -32,10 +32,9 @@ def main() -> None:
     if "--tpu" in sys.argv and len(jax.devices()) >= 2:
         mode = "tpu"
     else:
-        jax.config.update("jax_platforms", "cpu")
-        from jax.extend.backend import clear_backends
+        from cuda_raytracer_tpu.utils.backend import force_cpu
 
-        clear_backends()
+        force_cpu()
         mode = "virtual_cpu"
 
     from cuda_raytracer_tpu.models.scene_dsl import load_scene

@@ -12,9 +12,8 @@ Usage:  python scripts/split_sim.py [scene] [cluster_tris]
 """
 import sys, time
 sys.path.insert(0, "/root/repo")
+from cuda_raytracer_tpu.utils.backend import force_cpu; force_cpu()
 import jax
-jax.config.update("jax_platforms", "cpu")
-from jax.extend.backend import clear_backends; clear_backends()
 import jax.numpy as jnp
 import numpy as np
 from cuda_raytracer_tpu.models.scene_dsl import load_scene

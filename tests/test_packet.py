@@ -219,6 +219,29 @@ def test_render_overflow_raises_or_retries():
     np.testing.assert_array_equal(fb_retry, fb_direct)
 
 
+def test_resume_does_not_launder_certificate(tmp_path):
+    """A checkpointed render whose passes overflowed persists the suspect
+    count; resuming the finished checkpoint must re-raise (or retry), not
+    silently return the image the certificate rejected."""
+    import dataclasses
+
+    from cuda_raytracer_tpu.render.pipeline import render_framebuffer
+
+    scene = _scene_with_clusters(tri_count=3000, cluster_tris=128)
+    if scene.num_clusters < 3:
+        pytest.skip("needs several clusters")
+    tiny_cap = dataclasses.replace(
+        scene.config, packet_cap=1, intersector="packet", sort_rays=False
+    )
+    tiny = scene.replace(config=tiny_cap)
+    path = str(tmp_path / "render.npz")
+    with pytest.raises(RuntimeError, match="exactness certificate"):
+        render_framebuffer(tiny, checkpoint_path=path, auto_retry=False)
+    # The checkpoint now claims all samples done — but carries the suspects.
+    with pytest.raises(RuntimeError, match="exactness certificate"):
+        render_framebuffer(tiny, checkpoint_path=path, auto_retry=False)
+
+
 def test_packet_nearest_ranking_keeps_close_hits():
     """Even with a cap that drops clusters, kept clusters are the nearest —
     rays whose hit lies in the nearest cluster stay correct."""

@@ -139,3 +139,17 @@ def _collected_pass(scene, rpp, pass_seed):
     )
     order = np.argsort(np.asarray(state.ray_id))
     return np.asarray(state.collected)[order]
+
+
+def test_unknown_intersector_fails_fast():
+    """A typo'd (or removed, e.g. round 1's 'clustered') intersector mode
+    must raise, not silently fall through to a different engine."""
+    scene = load_scene(
+        f"{REF}/cornell.scene",
+        config_overrides=dict(
+            width=4, height=4, rays_per_pixel=1, bounces=1,
+            intersector="clustered",
+        ),
+    )
+    with pytest.raises(ValueError, match="unknown intersector"):
+        wavefront.resolved_intersector(scene)

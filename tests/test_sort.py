@@ -99,3 +99,45 @@ def test_count_sort_grads_match():
         np.testing.assert_allclose(
             np.asarray(va), np.asarray(vc), rtol=1e-5, atol=1e-6
         )
+
+
+def test_unsort_vjp_offset_blocks():
+    """_unsort_by_ray_id's custom VJP must match XLA autodiff of the plain
+    permutation gather even for non-zero-based ray ids (the blocked render
+    path builds ids as block_lo + arange)."""
+    from cuda_raytracer_tpu.render import wavefront
+
+    rng = np.random.default_rng(7)
+    for R, base in ((64, 0), (64, 4096), (8192 * 2, 131072)):
+        cs = wavefront.sort_chunk_size(R)
+        nc = R // cs
+        # Chunk-local permutation of [base + c*cs, base + (c+1)*cs).
+        ids = np.concatenate([
+            base + c * cs + rng.permutation(cs) for c in range(nc)
+        ]).astype(np.int32)
+        collected = rng.normal(size=(R, 3)).astype(np.float32)
+        g = rng.normal(size=(R, 3)).astype(np.float32)
+
+        def custom(x):
+            return wavefront._unsort_by_ray_id(x, jnp.asarray(ids))
+
+        def reference(x):
+            return x[jnp.argsort(jnp.asarray(ids))]
+
+        out_c, vjp_c = jax.vjp(custom, jnp.asarray(collected))
+        out_r, vjp_r = jax.vjp(reference, jnp.asarray(collected))
+        np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_r))
+        np.testing.assert_array_equal(
+            np.asarray(vjp_c(jnp.asarray(g))[0]),
+            np.asarray(vjp_r(jnp.asarray(g))[0]),
+        )
+
+
+def test_bucket_sort_rejects_oversize():
+    """The f32 rank arithmetic is exact only below 2^24 — oversize inputs
+    must fail loudly, not silently drop rays in the reorder scatter."""
+    import pytest
+
+    keys = jnp.zeros((1 << 24,), jnp.uint32)
+    with pytest.raises(ValueError, match="2\\^24"):
+        sort_mod.bucket_sort_dest(keys)
