@@ -300,6 +300,7 @@ def test_fused_skip_matches_no_skip():
     for kwargs in (
         dict(),
         dict(tile=32),
+        dict(tile=16),  # smallest scan candidate; exercises MT batch 32
         dict(resident_bytes=1 << 19),  # multi-shard resident
         dict(two_round=True),
     ):
