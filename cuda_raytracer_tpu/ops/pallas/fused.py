@@ -35,9 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cuda_raytracer_tpu.ops.pallas.sweep import HIT_EPS, _mt_pair_t
-
-MISS = 1e30
+from cuda_raytracer_tpu.ops.pallas.sweep import HIT_EPS, MISS, _mt_pair_t
 
 # Pairs per SMEM ring (flush granularity) and DMA pipeline width.
 RING = 128
@@ -57,6 +55,18 @@ def _tile_chunk(Kw: int, Kw2: int) -> int:
     row_bytes = (1 + Kw2 + Kw) * 4 * 2
     while tc > 8 and tc * row_bytes > META_SMEM_BUDGET:
         tc //= 2
+    # tc cannot shrink below 8 (the flat meta DMA slices must stay
+    # 128-aligned), so very wide cluster tables (K ≳ 16k ⇒ Kw > 1000) would
+    # silently overshoot the SMEM budget — only reachable via the budget=0
+    # DMA-wave escape hatch (the resident path shards tables long before
+    # this). Fail loudly rather than let Mosaic starve scalar memory.
+    if tc * row_bytes > META_SMEM_BUDGET:
+        raise ValueError(
+            f"fused closest-hit metadata row ({row_bytes} B for Kw={Kw}) "
+            "exceeds the SMEM budget even at the minimum tile chunk; shard "
+            "the cluster table (packet_intersect's resident shards) or "
+            "reduce cluster count"
+        )
     return tc
 
 

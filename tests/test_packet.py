@@ -512,3 +512,14 @@ def test_cull_gated_kernel_identity():
     )
     np.testing.assert_array_equal(np.asarray(e_ref), np.asarray(e_b))
     np.testing.assert_array_equal(np.asarray(m_ref), np.asarray(m_b))
+
+
+def test_fused_tile_chunk_budget_guard():
+    """Very wide cluster tables (only reachable via the budget=0 DMA-wave
+    escape hatch) must fail loudly instead of silently overshooting the
+    SMEM metadata budget at the minimum tile chunk."""
+    from cuda_raytracer_tpu.ops.pallas import fused as pallas_fused
+
+    assert pallas_fused._tile_chunk(96, 16) >= 8  # normal shard widths fit
+    with pytest.raises(ValueError, match="SMEM budget"):
+        pallas_fused._tile_chunk(1040, 79)
