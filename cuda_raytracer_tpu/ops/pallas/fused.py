@@ -35,7 +35,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cuda_raytracer_tpu.ops.pallas.sweep import HIT_EPS, MISS, _mt_pair_t
+from cuda_raytracer_tpu.ops.pallas.sweep import (
+    MISS,
+    _mt_pair_t,
+    _mt_t_plane,
+)
 
 # Pairs per SMEM ring (flush granularity) and DMA pipeline width.
 RING = 128
@@ -371,7 +375,8 @@ def _mt_batch(raysT: jnp.ndarray, blks, tile: int, C: int):
     blks:  (B, 16, C) — B cluster blocks
     Returns (best_t (1, tile), best_tri (1, tile) f32) folded over B and C
     with the shared tie rule (smaller t wins; larger tri id on equal t).
-    Same arithmetic as sweep._mt_pair_t — bit-identical results."""
+    Bit-identical to sweep._mt_pair_t by construction: both call the one
+    sweep._mt_t_plane core."""
     B = blks.shape[0]
     tile_n = raysT.shape[0]
 
@@ -397,29 +402,10 @@ def _mt_batch(raysT: jnp.ndarray, blks, tile: int, C: int):
     e2z = blks[:, 8:9, :]
     trif = blks[:, 9:10, :]
 
-    hx = dy * e2z - dz * e2y
-    hy = dz * e2x - dx * e2z
-    hz = dx * e2y - dy * e2x
-    det = hx * e1x + hy * e1y + hz * e1z
-    fx = ox - p1x
-    fy = oy - p1y
-    fz = oz - p1z
-    ud = fx * hx + fy * hy + fz * hz
-    qx = fy * e1z - fz * e1y
-    qy = fz * e1x - fx * e1z
-    qz = fx * e1y - fy * e1x
-    vd = dx * qx + dy * qy + dz * qz
-    td = e2x * qx + e2y * qy + e2z * qz
-    s = jnp.sign(det)
-    ad = jnp.abs(det)
-    us = ud * s
-    vs = vd * s
-    ts = td * s
-    ok = (
-        (det != 0.0) & (us >= 0.0) & (us <= ad) & (vs >= 0.0)
-        & (us + vs <= ad) & (ts >= HIT_EPS * ad)
-    )
-    t = jnp.where(ok, td / jnp.where(det == 0.0, 1.0, det), MISS)  # (B, tile, C)
+    t = _mt_t_plane(
+        (ox, oy, oz), (dx, dy, dz),
+        (p1x, p1y, p1z, e1x, e1y, e1z, e2x, e2y, e2z),
+    )  # (B, tile, C)
     m = jnp.min(t, axis=2)  # (B, tile)
     eq = t == m[:, :, None]
     trb = jnp.broadcast_to(trif, t.shape)
@@ -485,14 +471,18 @@ def _fused_kernel_resident(
     rest = list(rest)
     entry_ref = rest.pop(0) if skip else None
     mask_ref = rest.pop(0) if skip else None
-    t_out_ref, tri_out_ref = rest[0], rest[1]
-    (meta_smem, words_smem, rt_smem, rs_smem, pk_smem, ray_buf,
-     blkB_buf) = rest[2:9]
+    # Exact-length unpacks (the * tail re-unpacks to a fixed arity) so a
+    # scratch-list edit in fused_closest_hit that desynchronizes from this
+    # signature raises immediately instead of silently mis-binding refs
+    # that share a shape/dtype (e.g. acc_best/acc_tri, the DMA semaphores).
+    (t_out_ref, tri_out_ref,
+     meta_smem, words_smem, rt_smem, rs_smem, pk_smem, ray_buf, blkB_buf,
+     *tail) = rest
     if skip:
-        acc_best, acc_tri, ent_smem, mask_smem = rest[9:13]
-        meta_sem, words_sem, ray_sem, ent_sem, mask_sem = rest[13:18]
+        (acc_best, acc_tri, ent_smem, mask_smem,
+         meta_sem, words_sem, ray_sem, ent_sem, mask_sem) = tail
     else:
-        meta_sem, words_sem, ray_sem = rest[9:12]
+        meta_sem, words_sem, ray_sem = tail
     T1, _ = t_out_ref.shape
     T = T1 - 1
     C = blocks_ref.shape[2]

@@ -51,6 +51,47 @@ GROUP = 8
 MT_SLICE = 256
 
 
+def _mt_t_plane(o, d, tri9):
+    """The shared Möller–Trumbore t-plane: broadcast-polymorphic core used
+    by BOTH the legacy sweep (_mt_pair_t: (tile,1)×(1,W) operands) and the
+    fused kernel's batched form (_mt_batch: (1,tile,1)×(B,1,C)) — ONE copy
+    of the arithmetic so the bit-equality the parity tests assert can never
+    drift between kernels.
+
+    o, d: 3-tuples of broadcastable origin/direction components;
+    tri9: 9-tuple (p1x p1y p1z e1x e1y e1z e2x e2y e2z).
+    Returns t = accepted hit distance or MISS, at the broadcast shape.
+    Division-free sign-folded acceptance (see packet_intersect)."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    p1x, p1y, p1z, e1x, e1y, e1z, e2x, e2y, e2z = tri9
+    # h = d × e2
+    hx = dy * e2z - dz * e2y
+    hy = dz * e2x - dx * e2z
+    hz = dx * e2y - dy * e2x
+    det = hx * e1x + hy * e1y + hz * e1z
+    fx = ox - p1x
+    fy = oy - p1y
+    fz = oz - p1z
+    ud = fx * hx + fy * hy + fz * hz
+    # q = f × e1
+    qx = fy * e1z - fz * e1y
+    qy = fz * e1x - fx * e1z
+    qz = fx * e1y - fy * e1x
+    vd = dx * qx + dy * qy + dz * qz
+    td = e2x * qx + e2y * qy + e2z * qz
+    s = jnp.sign(det)
+    ad = jnp.abs(det)
+    us = ud * s
+    vs = vd * s
+    ts = td * s
+    ok = (
+        (det != 0.0) & (us >= 0.0) & (us <= ad) & (vs >= 0.0)
+        & (us + vs <= ad) & (ts >= HIT_EPS * ad)
+    )
+    return jnp.where(ok, td / jnp.where(det == 0.0, 1.0, det), MISS)
+
+
 def _mt_pair(rays: jnp.ndarray, blk: jnp.ndarray, tile: int, C: int):
     """Möller–Trumbore of one ray tile vs one cluster block.
 
@@ -91,31 +132,10 @@ def _mt_pair_t(raysT: jnp.ndarray, blk: jnp.ndarray, tile: int, C: int):
         e2z = blk[8, sl].reshape(1, W)
         trif = blk[9, sl].reshape(1, W)
 
-        # h = d × e2
-        hx = dy * e2z - dz * e2y
-        hy = dz * e2x - dx * e2z
-        hz = dx * e2y - dy * e2x
-        det = hx * e1x + hy * e1y + hz * e1z
-        fx = ox - p1x
-        fy = oy - p1y
-        fz = oz - p1z
-        ud = fx * hx + fy * hy + fz * hz
-        # q = f × e1
-        qx = fy * e1z - fz * e1y
-        qy = fz * e1x - fx * e1z
-        qz = fx * e1y - fy * e1x
-        vd = dx * qx + dy * qy + dz * qz
-        td = e2x * qx + e2y * qy + e2z * qz
-        s = jnp.sign(det)
-        ad = jnp.abs(det)
-        us = ud * s
-        vs = vd * s
-        ts = td * s
-        ok = (
-            (det != 0.0) & (us >= 0.0) & (us <= ad) & (vs >= 0.0)
-            & (us + vs <= ad) & (ts >= HIT_EPS * ad)
-        )
-        t = jnp.where(ok, td / jnp.where(det == 0.0, 1.0, det), MISS)  # (tile, W)
+        t = _mt_t_plane(
+            (ox, oy, oz), (dx, dy, dz),
+            (p1x, p1y, p1z, e1x, e1y, e1z, e2x, e2y, e2z),
+        )  # (tile, W)
         m = jnp.min(t, axis=1, keepdims=True)  # (tile, 1)
         eq = t == m
         tr = jnp.max(jnp.where(eq & (t < MISS), trif, -1.0), axis=1, keepdims=True)
