@@ -85,6 +85,156 @@ def _ctz16(w):
     return j
 
 
+def _walk_pairs(
+    meta_ref,
+    words_ref,
+    meta_smem,
+    words_smem,
+    meta_sem,
+    words_sem,
+    *,
+    T: int,
+    tile_chunk: int,
+    MW: int,
+    WW: int,
+    Kw: int,
+    Kw2: int,
+    extras_init,  # () -> tuple of variant-specific extra loop carries
+    flush_pred,  # (rc, chunk_done, extras) -> bool — the full flush predicate
+    flush_hook,  # (do_flush, rc, extras) -> (rc, extras); runs + resets flush
+    pre_emit_hook,  # (c, have1, t, rc, extras) -> extras; before the emit
+    emit_hook,  # (c, have1, rc, t, g1base, tz1) -> None; pl.when inside
+):
+    """The ONE cursor state machine shared by both fused kernels.
+
+    Double-buffers per-chunk metadata SMEM DMAs and walks the packed word
+    hierarchy — one action per iteration, priority order:
+
+      w1 != 0             → emit pair (t, g1base + ctz(w1)), clear bit
+      w2 != 0             → load the L1 word at the lowest set L2 bit
+      g2 < Kw2, t live    → load next L2 word
+      else                → advance to the next tile (count-0 tiles cost
+                            one iteration each)
+
+    Invariant: w1 == w2 == 0 whenever t >= tc_eff, so the loop terminates
+    once the tail flush empties rc. Ring storage, flush conditions and the
+    emit destinations are the variants' business — injected as hooks so the
+    delicate shared logic (classification, guarded word loads, dead-tile
+    advance) can never desynchronize between the wave and resident kernels.
+    Each hook does its own arithmetic inside its pl.when so traced ops stay
+    under the predicate (verified trace-identical to the pre-refactor
+    kernels by jaxpr comparison)."""
+    TILE_CHUNK = tile_chunk
+    n_chunks = pl.cdiv(T, TILE_CHUNK)
+
+    def meta_dma(c, slot):
+        # Flat 1-D src and dst slices whose offsets/lengths are multiples of
+        # 128 (TILE_CHUNK ≥ 8, MW/WW multiples of 16) — aligned to the
+        # memref lane tiling without 2-D slice constraints.
+        mlen = TILE_CHUNK * MW
+        wlen = TILE_CHUNK * WW
+        return (
+            pltpu.make_async_copy(
+                meta_ref.at[pl.ds(c * mlen, mlen)],
+                meta_smem.at[pl.ds(slot * mlen, mlen)],
+                meta_sem.at[slot],
+            ),
+            pltpu.make_async_copy(
+                words_ref.at[pl.ds(c * wlen, wlen)],
+                words_smem.at[pl.ds(slot * wlen, wlen)],
+                words_sem.at[slot],
+            ),
+        )
+
+    def start_meta(c, slot):
+        a, b = meta_dma(c, slot)
+        a.start()
+        b.start()
+
+    def wait_meta(c, slot):
+        a, b = meta_dma(c, slot)
+        a.wait()
+        b.wait()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        start_meta(0, 0)
+
+    def chunk_body(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            start_meta(c + 1, (c + 1) % 2)
+
+        wait_meta(c, slot)
+        tc_eff = jnp.minimum(T - c * TILE_CHUNK, TILE_CHUNK)
+
+        def cond(carry):
+            t, g2, g2base, w2, w1, g1base, rc = carry[:7]
+            return (t < tc_eff) | (rc > 0)
+
+        def body(carry):
+            t, g2, g2base, w2, w1, g1base, rc = carry[:7]
+            extras = carry[7:]
+
+            chunk_done = (t >= tc_eff) & (w1 == 0) & (w2 == 0)
+            do_flush = flush_pred(rc, chunk_done, extras)
+            rc, extras = flush_hook(do_flush, rc, extras)
+
+            have1 = w1 != 0
+            have2 = (~have1) & (w2 != 0)
+            need2 = (~have1) & (~have2) & (g2 < Kw2) & (t < tc_eff)
+            adv = (~have1) & (~have2) & (~need2) & (t < tc_eff)
+
+            extras = pre_emit_hook(c, have1, t, rc, extras)
+
+            # emit the lowest set bit of w1 (ctz input guarded for w1 == 0)
+            tz1 = _ctz16(jnp.where(have1, w1, 1))
+            emit_hook(c, have1, rc, t, g1base, tz1)
+            rc = jnp.where(have1, rc + 1, rc)
+            w1 = jnp.where(have1, w1 & (w1 - 1), w1)
+
+            # load next L1 word from the lowest set L2 bit
+            tz2 = _ctz16(jnp.where(have2, w2, 1))
+            g1_idx = g2base + tz2
+            g1_safe = jnp.minimum(g1_idx, Kw - 1)
+            t_safe = jnp.minimum(t, TILE_CHUNK - 1)
+            w1_new = words_smem[slot * TILE_CHUNK * WW + t_safe * WW + g1_safe]
+            w1 = jnp.where(have2, w1_new, w1)
+            g1base = jnp.where(have2, g1_idx * 16, g1base)
+            w2 = jnp.where(have2, w2 & (w2 - 1), w2)
+
+            # load next L2 word
+            g2_safe = jnp.minimum(g2, Kw2 - 1)
+            w2_new = meta_smem[slot * TILE_CHUNK * MW + t_safe * MW + 1 + g2_safe]
+            w2 = jnp.where(need2, w2_new, w2)
+            g2base = jnp.where(need2, g2 * 16, g2base)
+            g2 = jnp.where(need2, g2 + 1, g2)
+
+            # advance tile; dead tiles (count 0) skip their L2 scan entirely
+            t_next = jnp.minimum(t + 1, TILE_CHUNK - 1)
+            next_alive = meta_smem[slot * TILE_CHUNK * MW + t_next * MW] > 0
+            g2 = jnp.where(adv, jnp.where(next_alive, 0, Kw2), g2)
+            t = jnp.where(adv, t + 1, t)
+            return (t, g2, g2base, w2, w1, g1base, rc) + extras
+
+        first_alive = meta_smem[slot * TILE_CHUNK * MW] > 0
+        init = (
+            jnp.int32(0),  # t
+            jnp.where(first_alive, jnp.int32(0), jnp.int32(Kw2)),  # g2
+            jnp.int32(0),  # g2base
+            jnp.int32(0),  # w2
+            jnp.int32(0),  # w1
+            jnp.int32(0),  # g1base
+            jnp.int32(0),  # rc
+        ) + extras_init()
+        jax.lax.while_loop(cond, body, init)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+
 def _fused_kernel(
     # inputs (HBM unless noted)
     meta_ref,  # (T * MW,) int32 — per-tile [count, l2 words..., pad] rows
@@ -119,39 +269,9 @@ def _fused_kernel(
     K1 = blocks_ref.shape[0]
     C = blk_buf.shape[3]
     TILE_CHUNK = tile_chunk
-    n_chunks = pl.cdiv(T, TILE_CHUNK)
 
     t_out_ref[:] = jnp.full(t_out_ref.shape, MISS, jnp.float32)
     tri_out_ref[:] = jnp.full(tri_out_ref.shape, -1.0, jnp.float32)
-
-    def meta_dma(c, slot):
-        # Flat 1-D src and dst slices whose offsets/lengths are multiples of
-        # 128 (TILE_CHUNK ≥ 8, MW/WW multiples of 16) — aligned to the
-        # memref lane tiling without 2-D slice constraints.
-        mlen = TILE_CHUNK * MW
-        wlen = TILE_CHUNK * WW
-        return (
-            pltpu.make_async_copy(
-                meta_ref.at[pl.ds(c * mlen, mlen)],
-                meta_smem.at[pl.ds(slot * mlen, mlen)],
-                meta_sem.at[slot],
-            ),
-            pltpu.make_async_copy(
-                words_ref.at[pl.ds(c * wlen, wlen)],
-                words_smem.at[pl.ds(slot * wlen, wlen)],
-                words_sem.at[slot],
-            ),
-        )
-
-    def start_meta(c, slot):
-        a, b = meta_dma(c, slot)
-        a.start()
-        b.start()
-
-    def wait_meta(c, slot):
-        a, b = meta_dma(c, slot)
-        a.wait()
-        b.wait()
 
     def pair_dma(slot, j, wave_base):
         pt_j = pt_smem[wave_base + j]
@@ -245,101 +365,37 @@ def _fused_kernel(
         prev_pt, best, tri = jax.lax.fori_loop(0, n_waves, wave_body, init)
         merge_row(prev_pt, best, tri)
 
-    @pl.when(n_chunks > 0)
-    def _():
-        start_meta(0, 0)
+    # The ring is flushed whenever it reaches RING pairs, and once more at
+    # chunk end for the remainder.
+    def flush_pred(rc, chunk_done, extras):
+        return (rc >= RING) | (chunk_done & (rc > 0))
 
-    def chunk_body(c, _):
-        slot = c % 2
-
-        @pl.when(c + 1 < n_chunks)
+    def flush_hook(do_flush, rc, extras):
+        @pl.when(do_flush)
         def _():
-            start_meta(c + 1, (c + 1) % 2)
+            flush(rc)
 
-        wait_meta(c, slot)
-        tc_eff = jnp.minimum(T - c * TILE_CHUNK, TILE_CHUNK)
+        rc = jnp.where(do_flush, 0, rc)
+        return rc, extras
 
-        # ---- cursor machine ------------------------------------------------
-        # One action per iteration, priority order:
-        #   w1 != 0             → emit pair (t, g1base + ctz(w1)), clear bit
-        #   w2 != 0             → load the L1 word at the lowest set L2 bit
-        #   g2 < Kw2, t live    → load next L2 word
-        #   else                → advance to the next tile (count-0 tiles
-        #                         cost one iteration each)
-        # The ring is flushed whenever it reaches RING pairs, and once more
-        # at chunk end for the remainder. Invariant: w1 == w2 == 0 whenever
-        # t >= tc_eff, so the loop terminates once the tail flush empties rc.
-        def cond(carry):
-            t, g2, g2base, w2, w1, g1base, rc = carry
-            return (t < tc_eff) | (rc > 0)
+    def pre_emit_hook(c, have1, t, rc, extras):
+        return extras
 
-        def body(carry):
-            t, g2, g2base, w2, w1, g1base, rc = carry
+    def emit_hook(c, have1, rc, t, g1base, tz1):
+        @pl.when(have1)
+        def _():
+            pt_smem[rc] = c * TILE_CHUNK + t
+            pk_smem[rc] = g1base + tz1
 
-            chunk_done = (t >= tc_eff) & (w1 == 0) & (w2 == 0)
-            # Flush when the ring is full, or at chunk end with a remainder.
-            do_flush = (rc >= RING) | (chunk_done & (rc > 0))
-
-            @pl.when(do_flush)
-            def _():
-                flush(rc)
-
-            rc = jnp.where(do_flush, 0, rc)
-
-            have1 = w1 != 0
-            have2 = (~have1) & (w2 != 0)
-            need2 = (~have1) & (~have2) & (g2 < Kw2) & (t < tc_eff)
-            adv = (~have1) & (~have2) & (~need2) & (t < tc_eff)
-
-            # emit the lowest set bit of w1 (ctz input guarded for w1 == 0)
-            tz1 = _ctz16(jnp.where(have1, w1, 1))
-
-            @pl.when(have1)
-            def _():
-                pt_smem[rc] = c * TILE_CHUNK + t
-                pk_smem[rc] = g1base + tz1
-
-            rc = jnp.where(have1, rc + 1, rc)
-            w1 = jnp.where(have1, w1 & (w1 - 1), w1)
-
-            # load next L1 word from the lowest set L2 bit
-            tz2 = _ctz16(jnp.where(have2, w2, 1))
-            g1_idx = g2base + tz2
-            g1_safe = jnp.minimum(g1_idx, Kw - 1)
-            t_safe = jnp.minimum(t, TILE_CHUNK - 1)
-            w1_new = words_smem[slot * TILE_CHUNK * WW + t_safe * WW + g1_safe]
-            w1 = jnp.where(have2, w1_new, w1)
-            g1base = jnp.where(have2, g1_idx * 16, g1base)
-            w2 = jnp.where(have2, w2 & (w2 - 1), w2)
-
-            # load next L2 word
-            g2_safe = jnp.minimum(g2, Kw2 - 1)
-            w2_new = meta_smem[slot * TILE_CHUNK * MW + t_safe * MW + 1 + g2_safe]
-            w2 = jnp.where(need2, w2_new, w2)
-            g2base = jnp.where(need2, g2 * 16, g2base)
-            g2 = jnp.where(need2, g2 + 1, g2)
-
-            # advance tile; dead tiles (count 0) skip their L2 scan entirely
-            t_next = jnp.minimum(t + 1, TILE_CHUNK - 1)
-            next_alive = meta_smem[slot * TILE_CHUNK * MW + t_next * MW] > 0
-            g2 = jnp.where(adv, jnp.where(next_alive, 0, Kw2), g2)
-            t = jnp.where(adv, t + 1, t)
-            return (t, g2, g2base, w2, w1, g1base, rc)
-
-        first_alive = meta_smem[slot * TILE_CHUNK * MW] > 0
-        init = (
-            jnp.int32(0),  # t
-            jnp.where(first_alive, jnp.int32(0), jnp.int32(Kw2)),  # g2
-            jnp.int32(0),  # g2base
-            jnp.int32(0),  # w2
-            jnp.int32(0),  # w1
-            jnp.int32(0),  # g1base
-            jnp.int32(0),  # rc
-        )
-        jax.lax.while_loop(cond, body, init)
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    _walk_pairs(
+        meta_ref, words_ref, meta_smem, words_smem, meta_sem, words_sem,
+        T=T, tile_chunk=TILE_CHUNK, MW=MW, WW=WW, Kw=Kw, Kw2=Kw2,
+        extras_init=tuple,
+        flush_pred=flush_pred,
+        flush_hook=flush_hook,
+        pre_emit_hook=pre_emit_hook,
+        emit_hook=emit_hook,
+    )
 
 
 # Same-tile pairs batched per MT call in the resident kernel. The (tile, C)
@@ -487,36 +543,9 @@ def _fused_kernel_resident(
     T = T1 - 1
     C = blocks_ref.shape[2]
     TILE_CHUNK = tile_chunk
-    n_chunks = pl.cdiv(T, TILE_CHUNK)
 
     t_out_ref[:] = jnp.full(t_out_ref.shape, MISS, jnp.float32)
     tri_out_ref[:] = jnp.full(tri_out_ref.shape, -1.0, jnp.float32)
-
-    def meta_dma(c, slot):
-        mlen = TILE_CHUNK * MW
-        wlen = TILE_CHUNK * WW
-        return (
-            pltpu.make_async_copy(
-                meta_ref.at[pl.ds(c * mlen, mlen)],
-                meta_smem.at[pl.ds(slot * mlen, mlen)],
-                meta_sem.at[slot],
-            ),
-            pltpu.make_async_copy(
-                words_ref.at[pl.ds(c * wlen, wlen)],
-                words_smem.at[pl.ds(slot * wlen, wlen)],
-                words_sem.at[slot],
-            ),
-        )
-
-    def start_meta(c, slot):
-        a, b = meta_dma(c, slot)
-        a.start()
-        b.start()
-
-    def wait_meta(c, slot):
-        a, b = meta_dma(c, slot)
-        a.wait()
-        b.wait()
 
     def ray_dma(i, slot):
         return pltpu.make_async_copy(
@@ -655,102 +684,52 @@ def _fused_kernel_resident(
 
         jax.lax.fori_loop(0, tc, tile_body, 0)
 
-    @pl.when(n_chunks > 0)
-    def _():
-        start_meta(0, 0)
+    # As _fused_kernel, plus per-tile segmentation — `et` tracks the last
+    # tile with an open segment; a pair on a new tile appends (tile id,
+    # segment start) to the tile ring.
+    def flush_pred(rc, chunk_done, extras):
+        tc, et = extras
+        return (rc >= RING) | (tc >= RINGT) | (chunk_done & (rc > 0))
 
-    def chunk_body(c, _):
-        slot = c % 2
+    def flush_hook(do_flush, rc, extras):
+        tc, et = extras
 
-        @pl.when(c + 1 < n_chunks)
-        def _():
-            start_meta(c + 1, (c + 1) % 2)
+        @pl.when(do_flush)
+        def _(tc=tc, rc=rc):
+            flush(tc, rc)
 
-        wait_meta(c, slot)
-        tc_eff = jnp.minimum(T - c * TILE_CHUNK, TILE_CHUNK)
+        rc = jnp.where(do_flush, 0, rc)
+        tc = jnp.where(do_flush, 0, tc)
+        et = jnp.where(do_flush, -1, et)
+        return rc, (tc, et)
 
-        # Cursor machine: as in _fused_kernel, plus per-tile segmentation —
-        # `et` tracks the last tile with an open segment; a pair on a new
-        # tile appends (tile id, segment start) to the tile ring.
-        def cond(carry):
-            t, g2, g2base, w2, w1, g1base, rc, tc, et = carry
-            return (t < tc_eff) | (rc > 0)
+    def pre_emit_hook(c, have1, t, rc, extras):
+        tc, et = extras
+        open_tile = have1 & (t != et)
 
-        def body(carry):
-            t, g2, g2base, w2, w1, g1base, rc, tc, et = carry
+        @pl.when(open_tile)
+        def _(tc=tc, rc=rc, t=t):
+            rt_smem[tc] = c * TILE_CHUNK + t
+            rs_smem[tc] = rc
 
-            chunk_done = (t >= tc_eff) & (w1 == 0) & (w2 == 0)
-            do_flush = (rc >= RING) | (tc >= RINGT) | (chunk_done & (rc > 0))
+        tc = jnp.where(open_tile, tc + 1, tc)
+        et = jnp.where(open_tile, t, et)
+        return (tc, et)
 
-            @pl.when(do_flush)
-            def _(tc=tc, rc=rc):
-                flush(tc, rc)
+    def emit_hook(c, have1, rc, t, g1base, tz1):
+        @pl.when(have1)
+        def _(rc=rc):
+            pk_smem[rc] = g1base + tz1
 
-            rc = jnp.where(do_flush, 0, rc)
-            tc = jnp.where(do_flush, 0, tc)
-            et = jnp.where(do_flush, -1, et)
-
-            have1 = w1 != 0
-            have2 = (~have1) & (w2 != 0)
-            need2 = (~have1) & (~have2) & (g2 < Kw2) & (t < tc_eff)
-            adv = (~have1) & (~have2) & (~need2) & (t < tc_eff)
-
-            open_tile = have1 & (t != et)
-
-            @pl.when(open_tile)
-            def _(tc=tc, rc=rc, t=t):
-                rt_smem[tc] = c * TILE_CHUNK + t
-                rs_smem[tc] = rc
-
-            tc = jnp.where(open_tile, tc + 1, tc)
-            et = jnp.where(open_tile, t, et)
-
-            tz1 = _ctz16(jnp.where(have1, w1, 1))
-
-            @pl.when(have1)
-            def _(rc=rc):
-                pk_smem[rc] = g1base + tz1
-
-            rc = jnp.where(have1, rc + 1, rc)
-            w1 = jnp.where(have1, w1 & (w1 - 1), w1)
-
-            tz2 = _ctz16(jnp.where(have2, w2, 1))
-            g1_idx = g2base + tz2
-            g1_safe = jnp.minimum(g1_idx, Kw - 1)
-            t_safe = jnp.minimum(t, TILE_CHUNK - 1)
-            w1_new = words_smem[slot * TILE_CHUNK * WW + t_safe * WW + g1_safe]
-            w1 = jnp.where(have2, w1_new, w1)
-            g1base = jnp.where(have2, g1_idx * 16, g1base)
-            w2 = jnp.where(have2, w2 & (w2 - 1), w2)
-
-            g2_safe = jnp.minimum(g2, Kw2 - 1)
-            w2_new = meta_smem[slot * TILE_CHUNK * MW + t_safe * MW + 1 + g2_safe]
-            w2 = jnp.where(need2, w2_new, w2)
-            g2base = jnp.where(need2, g2 * 16, g2base)
-            g2 = jnp.where(need2, g2 + 1, g2)
-
-            t_next = jnp.minimum(t + 1, TILE_CHUNK - 1)
-            next_alive = meta_smem[slot * TILE_CHUNK * MW + t_next * MW] > 0
-            g2 = jnp.where(adv, jnp.where(next_alive, 0, Kw2), g2)
-            t = jnp.where(adv, t + 1, t)
-            return (t, g2, g2base, w2, w1, g1base, rc, tc, et)
-
-        first_alive = meta_smem[slot * TILE_CHUNK * MW] > 0
-        init = (
-            jnp.int32(0),
-            jnp.where(first_alive, jnp.int32(0), jnp.int32(Kw2)),
-            jnp.int32(0),
-            jnp.int32(0),
-            jnp.int32(0),
-            jnp.int32(0),
-            jnp.int32(0),  # rc
-            jnp.int32(0),  # tc
-            jnp.int32(-1),  # et
-        )
-        jax.lax.while_loop(cond, body, init)
-        return 0
-
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    _walk_pairs(
+        meta_ref, words_ref, meta_smem, words_smem, meta_sem, words_sem,
+        T=T, tile_chunk=TILE_CHUNK, MW=MW, WW=WW, Kw=Kw, Kw2=Kw2,
+        extras_init=lambda: (jnp.int32(0), jnp.int32(-1)),  # tc, et
+        flush_pred=flush_pred,
+        flush_hook=flush_hook,
+        pre_emit_hook=pre_emit_hook,
+        emit_hook=emit_hook,
+    )
 
 
 def pack_words(mask: jnp.ndarray):
