@@ -102,7 +102,10 @@ def main() -> int:
             ref = pi.closest_hit_packet(
                 sc2, st.origin, st.direction, cl, i0, cap=cap2, backend="xla"
             )
-            for tile, skip in ((32, True), (64, True), (32, False)):
+            # tile=16 is the scan's smallest candidate — it engages the
+            # widened MT batch (32, _mt_batch_for) whose Mosaic lowering
+            # these rows certify.
+            for tile, skip in ((16, True), (32, True), (64, True), (32, False)):
                 got = pi.closest_hit_packet(
                     sc2, st.origin, st.direction, cl, i0,
                     cap=cap2, tile=tile, backend="fused", skip=skip,
