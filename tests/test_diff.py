@@ -237,3 +237,31 @@ def test_train_step_reduces_loss():
         p, opt_state, loss = step(p, opt_state, target, jnp.uint32(7))
         losses.append(float(loss))
     assert losses[-1] < 0.3 * losses[0], losses[:3] + losses[-3:]
+
+
+def test_check_radiance_exact_audit():
+    """The one-shot training-configuration audit must report pair-budget
+    overflow (and silence on a clean config) — it is the documented way to
+    certify a training setup whose jitted loss skips the per-step check."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    from test_cluster import _scene_with_clusters
+
+    scene = _scene_with_clusters(tri_count=3000, cluster_tris=128)
+    if scene.num_clusters < 3:
+        pytest.skip("needs several clusters")
+    clean = scene.replace(
+        config=dataclasses.replace(
+            scene.config, intersector="packet", sort_rays=False,
+            packet_cap=scene.num_clusters, rays_per_pixel=1, bounces=2,
+        )
+    )
+    assert diff.check_radiance_exact(clean) == 0
+    tiny = scene.replace(
+        config=dataclasses.replace(
+            scene.config, intersector="packet", sort_rays=False,
+            packet_cap=1, rays_per_pixel=1, bounces=2,
+        )
+    )
+    assert diff.check_radiance_exact(tiny) > 0
