@@ -57,11 +57,13 @@ META_SMEM_BUDGET = 1 << 16
 def _tile_chunk(Kw: int, Kw2: int) -> int:
     tc = 256
     row_bytes = (1 + Kw2 + Kw) * 4 * 2
-    while tc > 8 and tc * row_bytes > META_SMEM_BUDGET:
+    while tc > 64 and tc * row_bytes > META_SMEM_BUDGET:
         tc //= 2
-    # tc cannot shrink below 8 (the flat meta DMA slices must stay
-    # 128-aligned), so very wide cluster tables (K ≳ 16k ⇒ Kw > 1000) would
-    # silently overshoot the SMEM budget — only reachable via the budget=0
+    # tc cannot shrink below 64: Mosaic tiles flat 1-D HBM memrefs at
+    # (1024) elements and memref_slice needs lengths/offsets aligned to
+    # that, and MW/WW are only guaranteed multiples of 16 (64 * 16 = 1024).
+    # Very wide cluster tables (K ≳ 16k ⇒ Kw > 1000) would therefore
+    # overshoot the SMEM budget — only reachable via the budget=0
     # DMA-wave escape hatch (the resident path shards tables long before
     # this). Fail loudly rather than let Mosaic starve scalar memory.
     if tc * row_bytes > META_SMEM_BUDGET:
@@ -813,9 +815,13 @@ def fused_closest_hit(
         extra_ops = ()
         skip_scratch = []
         if skip:
-            # Entry rows padded to 128-lane multiples so the flat per-tile
-            # DMA slices stay 128-aligned; pad value is MISS (never hit).
-            EW = -(-entry.shape[1] // 128) * 128
+            # Entry rows padded to 1024-element multiples: Mosaic tiles flat
+            # 1-D HBM memrefs at (1024), and memref_slice requires slice
+            # lengths/offsets aligned to that tiling (hardware-verified: 768
+            # fails with "Slice shape along dimension 0 must be aligned to
+            # tiling (1024)"). The meta/words DMAs above satisfy this by
+            # construction (tc*MW >= 64*16). Pad value is MISS (never hit).
+            EW = -(-entry.shape[1] // 1024) * 1024
             NW = hitmask.shape[1]
             entry = jnp.pad(
                 entry, ((0, 0), (0, EW - entry.shape[1])),
