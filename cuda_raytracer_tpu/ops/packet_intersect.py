@@ -294,7 +294,7 @@ def closest_hit_packet(
                     << jnp.arange(32, dtype=jnp.int32),
                     axis=2,
                     dtype=jnp.int32,
-                )  # (T, Wg)
+                ).reshape(-1)  # flat (T * Wg,) — see cull_tiles_gated
                 out = pallas_cull.cull_tiles_gated(
                     od8_x, aabb_p, gates, tile=tile, interpret=interpret,
                     with_mask=want_mask,

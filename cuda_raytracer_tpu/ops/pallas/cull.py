@@ -105,8 +105,11 @@ def _cull_kernel_gated(gates_ref, rays_ref, aabb_ref, entry_ref, *mask_out,
                        tile):
     """Chunk-gated variant of ``_cull_kernel`` for the hierarchical cull.
 
-    ``gates_ref`` (scalar prefetch, SMEM): (T, Wg) int32 — bit i of word
-    i // 32 of row t is set iff chunk i (sub-box columns [128i, 128(i+1)))
+    ``gates_ref`` (scalar prefetch, SMEM): flat (T * Wg,) int32 — kept 1-D
+    because 2-D SMEM prefetch operands are lane-padded to 128 words/row
+    (4 MB at T=8192 vs the v5e's 1 MB SMEM; hardware-verified OOM). Bit i
+    of word t * Wg + i // 32 is set iff chunk i (sub-box columns
+    [128i, 128(i+1))) of tile t
     can be hit by some ray of tile t, per the super-AABB pre-pass
     (cull_tiles pass 1 in packet_intersect). Ungated chunks write
     MISS_ENTRY / zero masks, which is exactly what the flat kernel
@@ -118,9 +121,10 @@ def _cull_kernel_gated(gates_ref, rays_ref, aabb_ref, entry_ref, *mask_out,
     rays = rays_ref[0][:, :tile].T  # (tile, 8)
     tmax0 = rays[:, 6:7]
     n_words = mask_out[0].shape[1] if mask_out else None
+    Wg = -(-(K // GATE_CHUNK) // 32)
     for i in range(K // GATE_CHUNK):
         sl = slice(i * GATE_CHUNK, (i + 1) * GATE_CHUNK)
-        bit = (gates_ref[t, i // 32] >> (i % 32)) & 1
+        bit = (gates_ref[t * Wg + i // 32] >> (i % 32)) & 1
 
         @pl.when(bit != 0)
         def _(sl=sl):
@@ -194,7 +198,7 @@ def cull_tiles(
 def cull_tiles_gated(
     od8: jnp.ndarray,  # (T + 1, 8, L) f32 component-row tiles (dummy row T unused)
     aabb: jnp.ndarray,  # (8, Kp) f32, Kp % GATE_CHUNK == 0
-    gates: jnp.ndarray,  # (T, Wg) int32 — bit i of word i//32: chunk i live
+    gates: jnp.ndarray,  # flat (T * Wg,) int32 — bit i of word t*Wg + i//32: chunk i of tile t live
     tile: int,
     interpret: bool = False,
     with_mask: bool = False,

@@ -491,7 +491,7 @@ def test_cull_gated_kernel_identity():
         od8, aabb, tile=tile, interpret=True, with_mask=True
     )
 
-    ones = jnp.full((T, -(-nch // 32)), -1, jnp.int32)  # all bits set
+    ones = jnp.full((T * (-(-nch // 32)),), -1, jnp.int32)  # all bits set
     e_a, m_a = pallas_cull.cull_tiles_gated(
         od8, aabb, ones, tile=tile, interpret=True, with_mask=True
     )
@@ -506,7 +506,9 @@ def test_cull_gated_kernel_identity():
     bits = np.zeros((T, Wg * 32), np.int64)
     bits[:, :nch] = gate
     words = (bits.reshape(T, Wg, 32) << np.arange(32)).sum(axis=2)
-    gates = jnp.asarray((words & 0xFFFFFFFF).astype(np.uint32).view(np.int32))
+    gates = jnp.asarray(
+        (words & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    ).reshape(-1)
     e_b, m_b = pallas_cull.cull_tiles_gated(
         od8, aabb, gates, tile=tile, interpret=True, with_mask=True
     )
