@@ -215,6 +215,13 @@ def cull_tiles_gated(
     L = od8.shape[2]
     if Kp % GATE_CHUNK:
         raise ValueError(f"gated cull table width {Kp} % {GATE_CHUNK} != 0")
+    Wg = -(-(Kp // GATE_CHUNK) // 32)
+    if gates.shape != (T * Wg,):
+        raise ValueError(
+            f"gates must be flat (T * Wg,) = ({T} * {Wg},) int32 words "
+            f"(bit i of word t*Wg + i//32 gates chunk i of tile t); got "
+            f"shape {gates.shape}"
+        )
     W = -(-tile // 32)
     out_shape = [jax.ShapeDtypeStruct((T, 1, Kp), jnp.float32)]
     out_specs = [

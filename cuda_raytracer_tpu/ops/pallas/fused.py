@@ -52,6 +52,10 @@ RESIDENT_BYTES = 12 << 20
 # SMEM budget for the double-buffered metadata chunk (bytes); the tile-chunk
 # size adapts to keep 2 * tc * (1 + Kw2 + Kw) * 4 under it.
 META_SMEM_BUDGET = 1 << 16
+# Budget for the skip path's double-buffered entry/mask SMEM scratch
+# (2*(1+NW)*EW*4 bytes). v5e SMEM is ~1 MB; leave headroom for the meta
+# chunk (META_SMEM_BUDGET), rings, and compiler temporaries.
+SKIP_SMEM_BUDGET = 640 << 10
 
 
 def _tile_chunk(Kw: int, Kw2: int) -> int:
@@ -62,10 +66,12 @@ def _tile_chunk(Kw: int, Kw2: int) -> int:
     # tc cannot shrink below 64: Mosaic tiles flat 1-D HBM memrefs at
     # (1024) elements and memref_slice needs lengths/offsets aligned to
     # that, and MW/WW are only guaranteed multiples of 16 (64 * 16 = 1024).
-    # Very wide cluster tables (K ≳ 16k ⇒ Kw > 1000) would therefore
-    # overshoot the SMEM budget — only reachable via the budget=0
-    # DMA-wave escape hatch (the resident path shards tables long before
-    # this). Fail loudly rather than let Mosaic starve scalar memory.
+    # With the tc=64 floor the budget is overshot once
+    # 64 * 8 * (1 + Kw2 + Kw) > 65536, i.e. Kw ≳ 110 (K ≳ ~1.8k words per
+    # table). Reachable two ways: the budget=0 DMA-wave escape hatch with a
+    # huge table, or a VMEM-resident shard with a small cluster width C
+    # (cluster_tris ≪ 128) carrying several thousand clusters per shard.
+    # Fail loudly rather than let Mosaic starve scalar memory.
     if tc * row_bytes > META_SMEM_BUDGET:
         raise ValueError(
             f"fused closest-hit metadata row ({row_bytes} B for Kw={Kw}) "
@@ -131,8 +137,8 @@ def _walk_pairs(
 
     def meta_dma(c, slot):
         # Flat 1-D src and dst slices whose offsets/lengths are multiples of
-        # 128 (TILE_CHUNK ≥ 8, MW/WW multiples of 16) — aligned to the
-        # memref lane tiling without 2-D slice constraints.
+        # 1024 (TILE_CHUNK ≥ 64, MW/WW multiples of 16) — Mosaic tiles flat
+        # 1-D HBM memrefs at (1024), so slices must align to that.
         mlen = TILE_CHUNK * MW
         wlen = TILE_CHUNK * WW
         return (
@@ -823,6 +829,20 @@ def fused_closest_hit(
             # construction (tc*MW >= 64*16). Pad value is MISS (never hit).
             EW = -(-entry.shape[1] // 1024) * 1024
             NW = hitmask.shape[1]
+            # The double-buffered skip scratch (ent_smem + mask_smem below)
+            # costs 2*(1 + NW)*EW*4 bytes of SMEM on top of the meta chunk
+            # budget. Guard it loudly (like _tile_chunk) so larger tile/NW
+            # or shard-K configs fail with a clear message instead of a
+            # Mosaic SMEM allocation error.
+            skip_smem = 2 * (1 + NW) * EW * 4
+            if skip_smem > SKIP_SMEM_BUDGET:
+                raise ValueError(
+                    f"fused skip-path SMEM scratch ({skip_smem} B for "
+                    f"EW={EW}, NW={NW}) exceeds the "
+                    f"{SKIP_SMEM_BUDGET} B budget; shrink the cluster "
+                    "shard (packet_intersect resident shards), raise "
+                    "packet_tile, or disable packet_skip"
+                )
             entry = jnp.pad(
                 entry, ((0, 0), (0, EW - entry.shape[1])),
                 constant_values=MISS,

@@ -6,6 +6,14 @@ NumPy scalars. The JAX wavefront renderer must agree with this oracle ray-by-
 ray when driven with the same seeding scheme — the ported form of the
 reference's CPU-vs-GPU dual-backend cross-check (SURVEY.md §4).
 
+All geometry arithmetic is dtype-generic (``dtype`` param, default float64):
+
+* float64 — the semantic oracle: "what the math means", tolerant comparison.
+* float32 — the precision-matched oracle: same rounding regime as the JAX
+  renderer, so agreement should be near-total; residual divergence isolates
+  genuine *order*-of-operations branch flips (closest-hit ties, Schlick
+  coin) rather than precision-width ones.
+
 This file is test infrastructure: it trades all performance for obviousness.
 """
 
@@ -47,41 +55,42 @@ class PcgOracle:
             np.float32(self.next32()) * (np.float32(2.0 * math.pi) / np.float32(4294967295.0))
         )
 
-    def on_sphere(self) -> np.ndarray:
-        r1 = self.random_radians()
-        r2 = self.random02()
-        x = math.sqrt(max(r2 * (2.0 - r2), 0.0))
-        return np.array([math.cos(r1) * x, math.sin(r1) * x, 1.0 - r2], np.float64)
+    def on_sphere(self, dt=np.float64) -> np.ndarray:
+        r1 = dt(self.random_radians())
+        r2 = dt(self.random02())
+        x = np.sqrt(np.maximum(r2 * (dt(2.0) - r2), dt(0.0)))
+        return np.array([np.cos(r1) * x, np.sin(r1) * x, dt(1.0) - r2], dt)
 
 
 def normalise(v):
-    return v / np.linalg.norm(v)
+    return v / np.sqrt(np.dot(v, v))
 
 
 def generate_ray(scene_np, ray_index, rays_per_pixel, pass_seed):
-    """scene.cu:78-105 semantics on a dict of numpy scene data."""
+    """scene.cu:78-105 semantics on a dict of numpy scene data (arrays carry
+    the oracle dtype; all arithmetic stays in it via NEP-50 weak promotion)."""
     rng = PcgOracle((ray_index * 2239826922 + 709579 * pass_seed) & 0xFFFFFFFF)
     pixel = ray_index // rays_per_pixel
     x_pix = pixel % scene_np["width"]
     y_pix = pixel // scene_np["width"]
-    x = (x_pix + rng.random01()) * scene_np["inv_width"]
-    y = (y_pix + rng.random01()) * scene_np["inv_height"]
+    x = (x_pix + rng.random01().astype(scene_np["dtype"])) * scene_np["inv_width"]
+    y = (y_pix + rng.random01().astype(scene_np["dtype"])) * scene_np["inv_height"]
     direction = normalise(
         scene_np["near_plane_top_left"]
         + x * scene_np["scaled_right"]
         - y * scene_np["scaled_up"]
     )
-    return scene_np["camera_position"].astype(np.float64), direction
+    return scene_np["camera_position"].copy(), direction
 
 
 def intersect_sphere(origin, direction, center, radius):
     offset = center - origin
-    minus_half_b = float(np.dot(offset, direction))
-    quarter_c = float(np.dot(offset, offset)) - radius * radius
+    minus_half_b = np.dot(offset, direction)
+    quarter_c = np.dot(offset, offset) - radius * radius
     disc = minus_half_b * minus_half_b - quarter_c
     if disc < 0:
         return MISS
-    half_sqrt = math.sqrt(disc)
+    half_sqrt = np.sqrt(disc)
     near = minus_half_b - half_sqrt
     if near >= HIT_EPS:
         return near
@@ -93,19 +102,19 @@ def intersect_sphere(origin, direction, center, radius):
 
 def intersect_triangle(origin, direction, p1, e1, e2):
     h = np.cross(direction, e2)
-    det = float(np.dot(h, e1))
+    det = np.dot(h, e1)
     if det == 0:
         return MISS
     inv_det = 1.0 / det
     offset = origin - p1
-    u = float(np.dot(offset, h)) * inv_det
+    u = np.dot(offset, h) * inv_det
     if u < 0 or u > 1:
         return MISS
     q = np.cross(offset, e1)
-    v = float(np.dot(direction, q)) * inv_det
+    v = np.dot(direction, q) * inv_det
     if v < 0 or u + v > 1:
         return MISS
-    t = float(np.dot(e2, q)) * inv_det
+    t = np.dot(e2, q) * inv_det
     if t < HIT_EPS:
         return MISS
     return t
@@ -135,40 +144,42 @@ def closest_hit(scene_np, origin, direction):
     return closest, index
 
 
-def equal_area_project(direction):
+def equal_area_project(direction, dt=np.float64):
     """scene.cu:284-318."""
-    x, y, z = abs(direction[0]), abs(direction[1]), abs(direction[2])
-    r = math.sqrt(max(1.0 - min(z, 1.0), 0.0))
-    a = max(x, y)
-    b = min(x, y)
-    b = 0.0 if a == 0 else b / a
-    phi = (2.0 / math.pi) * math.atan(b)
+    x, y, z = np.abs(direction)
+    r = np.sqrt(np.maximum(dt(1.0) - np.minimum(z, dt(1.0)), dt(0.0)))
+    a = np.maximum(x, y)
+    b = np.minimum(x, y)
+    b = dt(0.0) if a == 0 else dt(b / a)
+    phi = dt(2.0 / math.pi) * np.arctan(b)
     if x < y:
-        phi = 1.0 - phi
+        phi = dt(1.0) - phi
     v = phi * r
     u = r - v
     if direction[2] < 0:
-        u, v = 1.0 - v, 1.0 - u
-    u = math.copysign(u, direction[0])
-    v = math.copysign(v, direction[1])
-    return (u + 1.0) * 0.5, (v + 1.0) * 0.5
+        u, v = dt(1.0) - v, dt(1.0) - u
+    u = np.copysign(u, direction[0])
+    v = np.copysign(v, direction[1])
+    return (u + dt(1.0)) * dt(0.5), (v + dt(1.0)) * dt(0.5)
 
 
 def sample_env(scene_np, direction):
-    dx = direction[0] * -0.386527 + direction[2] * 0.922278
-    dy = direction[0] * -0.922278 + direction[2] * -0.386527
+    dt = scene_np["dtype"]
+    dx = direction[0] * dt(-0.386527) + direction[2] * dt(0.922278)
+    dy = direction[0] * dt(-0.922278) + direction[2] * dt(-0.386527)
     dz = direction[1]
-    u, v = equal_area_project(np.array([dx, dy, dz]))
+    u, v = equal_area_project(np.array([dx, dy, dz], dt), dt)
     env = scene_np["environment_map"]
     h, w = env.shape[0], env.shape[1]
     tx = int(min(max(u, 0.0), 1.0) * (w - 1) + 0.5)
     ty = int(min(max(v, 0.0), 1.0) * (h - 1) + 0.5)
-    return env[min(ty, h - 1), min(tx, w - 1)].astype(np.float64)
+    return env[min(ty, h - 1), min(tx, w - 1)].astype(dt)
 
 
 def process_ray(scene_np, state, rng: PcgOracle):
     """One bounce; ``state`` is a dict with origin/direction/transmitted/
-    collected (numpy float64). Mirrors scene.cu:320-487."""
+    collected (numpy arrays in the oracle dtype). Mirrors scene.cu:320-487."""
+    dt = scene_np["dtype"]
     if not state["transmitted"].any():
         return
     origin = state["origin"]
@@ -178,86 +189,86 @@ def process_ray(scene_np, state, rng: PcgOracle):
     if index == -1:
         sky = sample_env(scene_np, direction)
         state["collected"] = state["collected"] + sky * state["transmitted"]
-        state["transmitted"] = np.zeros(3)
+        state["transmitted"] = np.zeros(3, dt)
         return
 
-    hit_point = origin + closest * direction
+    hit_point = origin + dt(closest) * direction
     state["origin"] = hit_point
     if index < scene_np["sphere_count"]:
         center = scene_np["sphere_center"][index]
         radius = scene_np["sphere_radius"][index]
         normal = (hit_point - center) / radius
     else:
-        normal = scene_np["tri_normal"][index - scene_np["sphere_count"]].astype(
-            np.float64
-        )
+        normal = scene_np["tri_normal"][index - scene_np["sphere_count"]].astype(dt)
 
     m = scene_np["material_index"][index]
-    diffuse = scene_np["mat_diffuse"][m].astype(np.float64)
-    specular = scene_np["mat_specular"][m].astype(np.float64)
-    emitted = scene_np["mat_emitted"][m].astype(np.float64)
-    metallicity = float(scene_np["mat_metallicity"][m])
-    roughness = float(scene_np["mat_roughness"][m])
-    ior0 = float(scene_np["mat_ior"][m])
+    diffuse = scene_np["mat_diffuse"][m].astype(dt)
+    specular = scene_np["mat_specular"][m].astype(dt)
+    emitted = scene_np["mat_emitted"][m].astype(dt)
+    metallicity = scene_np["mat_metallicity"][m].astype(dt)
+    roughness = scene_np["mat_roughness"][m].astype(dt)
+    ior0 = scene_np["mat_ior"][m].astype(dt)
 
     state["collected"] = state["collected"] + emitted * state["transmitted"]
 
-    front_face = float(np.dot(normal, direction)) < 0
+    front_face = np.dot(normal, direction) < 0
     if not front_face:
         normal = -normal
 
-    rough_normal = normalise(normal + roughness * rng.on_sphere())
-    cos_theta = float(np.dot(rough_normal, direction))
+    rough_normal = normalise(normal + roughness * rng.on_sphere(dt))
+    cos_theta = np.dot(rough_normal, direction)
 
     if ior0 == 0:
         if rng.random01() <= metallicity:
             state["transmitted"] = state["transmitted"] * specular
-            state["direction"] = direction - 2.0 * cos_theta * rough_normal
+            state["direction"] = direction - dt(2.0) * cos_theta * rough_normal
         else:
             state["transmitted"] = state["transmitted"] * diffuse
-            state["direction"] = normalise(normal + rng.on_sphere())
+            state["direction"] = normalise(normal + rng.on_sphere(dt))
     else:
         ior = ior0
-        inv_ior = 1.0 / ior
+        inv_ior = dt(1.0) / ior
         if front_face:
             ior, inv_ior = inv_ior, ior
-        sin_theta_sq = 1.0 - cos_theta * cos_theta
-        r0 = (1.0 - ior) / (1.0 + ior)
-        r0 *= r0
-        cosine = 1.0 + cos_theta
-        reflectance = r0 + (1.0 - r0) * cosine**5
+        sin_theta_sq = dt(1.0) - cos_theta * cos_theta
+        r0 = (dt(1.0) - ior) / (dt(1.0) + ior)
+        r0 = r0 * r0
+        cosine = dt(1.0) + cos_theta
+        reflectance = r0 + (dt(1.0) - r0) * cosine**5
         if sin_theta_sq > inv_ior * inv_ior or rng.random01() < reflectance:
             state["transmitted"] = state["transmitted"] * specular
-            state["direction"] = direction - 2.0 * cos_theta * rough_normal
+            state["direction"] = direction - dt(2.0) * cos_theta * rough_normal
         else:
             state["transmitted"] = state["transmitted"] * diffuse
             r_out_perp = ior * (direction - cos_theta * rough_normal)
-            r_out_par = -math.sqrt(
-                max(1.0 - float(np.dot(r_out_perp, r_out_perp)), 0.0)
+            r_out_par = -np.sqrt(
+                np.maximum(dt(1.0) - np.dot(r_out_perp, r_out_perp), dt(0.0))
             ) * rough_normal
             state["direction"] = normalise(r_out_par + r_out_perp)
 
 
-def scene_to_numpy(scene) -> dict:
+def scene_to_numpy(scene, dtype=np.float64) -> dict:
     """Convert a device Scene pytree to plain numpy for the oracle."""
     cam = scene.camera
+    dt = np.dtype(dtype).type
     return dict(
+        dtype=dt,
         width=scene.config.width,
         height=scene.config.height,
-        inv_width=float(cam.inv_width),
-        inv_height=float(cam.inv_height),
-        camera_position=np.asarray(cam.position, np.float64),
-        near_plane_top_left=np.asarray(cam.near_plane_top_left, np.float64),
-        scaled_right=np.asarray(cam.scaled_right, np.float64),
-        scaled_up=np.asarray(cam.scaled_up, np.float64),
+        inv_width=dt(float(cam.inv_width)),
+        inv_height=dt(float(cam.inv_height)),
+        camera_position=np.asarray(cam.position, dt),
+        near_plane_top_left=np.asarray(cam.near_plane_top_left, dt),
+        scaled_right=np.asarray(cam.scaled_right, dt),
+        scaled_up=np.asarray(cam.scaled_up, dt),
         sphere_count=scene.sphere_count,
         triangle_count=scene.triangle_count,
-        sphere_center=np.asarray(scene.sphere_center, np.float64),
-        sphere_radius=np.asarray(scene.sphere_radius, np.float64),
-        tri_p1=np.asarray(scene.tri_p1, np.float64),
-        tri_e1=np.asarray(scene.tri_e1, np.float64),
-        tri_e2=np.asarray(scene.tri_e2, np.float64),
-        tri_normal=np.asarray(scene.tri_normal, np.float64),
+        sphere_center=np.asarray(scene.sphere_center, dt),
+        sphere_radius=np.asarray(scene.sphere_radius, dt),
+        tri_p1=np.asarray(scene.tri_p1, dt),
+        tri_e1=np.asarray(scene.tri_e1, dt),
+        tri_e2=np.asarray(scene.tri_e2, dt),
+        tri_normal=np.asarray(scene.tri_normal, dt),
         material_index=np.asarray(scene.material_index),
         mat_diffuse=np.asarray(scene.materials.diffuse_albedo),
         mat_specular=np.asarray(scene.materials.specular_albedo),
@@ -269,21 +280,22 @@ def scene_to_numpy(scene) -> dict:
     )
 
 
-def render_oracle(scene, rays_per_pixel, bounces, pass_seed=0):
-    """Render every ray with the oracle; returns collected (R, 3) float64.
-    Seeds match the JAX renderer: generate seed = id*2239826922 +
-    709579*pass_seed; bounce seed = id*4137874753 +
+def render_oracle(scene, rays_per_pixel, bounces, pass_seed=0, dtype=np.float64):
+    """Render every ray with the oracle; returns collected (R, 3) in
+    ``dtype``. Seeds match the JAX renderer: generate seed =
+    id*2239826922 + 709579*pass_seed; bounce seed = id*4137874753 +
     279220567*(pass_seed*20 + bounce)."""
-    scene_np = scene_to_numpy(scene)
+    scene_np = scene_to_numpy(scene, dtype)
+    dt = scene_np["dtype"]
     total = scene_np["width"] * scene_np["height"] * rays_per_pixel
-    collected = np.zeros((total, 3))
+    collected = np.zeros((total, 3), dt)
     for i in range(total):
         origin, direction = generate_ray(scene_np, i, rays_per_pixel, pass_seed)
         state = dict(
             origin=origin,
             direction=direction,
-            transmitted=np.ones(3),
-            collected=np.zeros(3),
+            transmitted=np.ones(3, dt),
+            collected=np.zeros(3, dt),
         )
         for b in range(bounces):
             seed = (i * 4137874753 + 279220567 * (pass_seed * 20 + b)) & 0xFFFFFFFF

@@ -119,3 +119,68 @@ def test_mesh_helpers():
     assert m.devices.size == 8
     sub = mesh_mod.make_mesh(jax.devices()[:2])
     assert sub.devices.size == 2
+
+
+def test_two_process_distributed_train_step(cornell, full_mesh, tmp_path):
+    """Multi-host bring-up smoke test: two OS processes, 4 virtual CPU
+    devices each, joined into one 8-device pod via
+    mesh.initialize_distributed (jax.distributed + local coordinator), each
+    running ONE sharded train step over the process-spanning mesh. The two
+    replicated losses must agree with each other bit-for-bit and with the
+    same step computed single-process on this suite's 8-device mesh (same
+    global devices/shardings — only the DCN-analogue process boundary
+    differs). Reference has no multi-host axis; this covers SURVEY §5.8's
+    added scale path."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # Single-process value at the same initial params (loss is computed
+    # before the update, so the optimizer state doesn't matter).
+    scene = load_scene(
+        f"{REF}/cornell.scene",
+        config_overrides=dict(width=8, height=8, rays_per_pixel=2, bounces=2),
+        prefer_native_bvh=False,
+    )
+    params, _ = diff.split_params(scene)
+    target = jnp.zeros((scene.num_pixels, 3), jnp.float32)
+    expected = float(
+        shard.sharded_loss(params, scene, full_mesh, target, 2, jnp.uint32(0), 2)
+    )
+
+    with socket.socket() as s:  # pick a free coordinator port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_NUM_PROCESSES", None)
+    worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(i)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    losses = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("DISTRIBUTED_LOSS")]
+        assert lines, f"worker printed no loss:\n{out}"
+        losses.append(float(lines[-1].split()[1]))
+    assert losses[0] == losses[1], losses  # replicated output, same bits
+    np.testing.assert_allclose(losses[0], expected, rtol=1e-5)
