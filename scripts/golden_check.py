@@ -36,6 +36,11 @@ import numpy as np
 # raw-mean ratios blow up (1.9 on cornell at 16 spp). Display metrics are
 # the gate; the structural corr requirement is tight and spp-insensitive.
 THRESHOLDS = dict(corr=0.96, mae=15.0, mean_ratio=(0.85, 1.08))
+# At (near-)matched spp the Jensen bias vanishes, so the gate tightens: the
+# render must sit on the golden, not merely correlate with it. Applied at
+# spp >= 500 (the goldens are 1000 spp; the bias measured <1% by 640 spp).
+TIGHT_THRESHOLDS = dict(corr=0.99, mae=5.0, mean_ratio=(0.98, 1.02))
+TIGHT_SPP = 500
 GOLDEN_SCENES = ("spheres", "cornell", "cornell_plus")
 STRUCTURAL_SCENES = ("teapot", "glass_teapot", "lamp")
 
@@ -46,20 +51,23 @@ def downsample(img: np.ndarray, out: int = 100) -> np.ndarray:
     return img[: out * f, : out * f].reshape(out, f, out, f, c).mean(axis=(1, 3))
 
 
-def compare(display: np.ndarray, golden_u8: np.ndarray) -> dict:
+def compare(display: np.ndarray, golden_u8: np.ndarray, spp: int = 0) -> dict:
     """display: our (H, W, 3) uint8 tonemapped render; golden_u8: reference
-    display PNG. Metrics on 100x100 downsampled cells."""
+    display PNG. Metrics on 100x100 downsampled cells; near-matched spp
+    (>= TIGHT_SPP) is gated on the tight thresholds."""
+    thresholds = TIGHT_THRESHOLDS if spp >= TIGHT_SPP else THRESHOLDS
     a = downsample(display.astype(np.float32))
     b = downsample(golden_u8.astype(np.float32))
     corr = float(np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1])
     mae = float(np.abs(a - b).mean())
     mean_ratio = float(a.mean() / max(b.mean(), 1e-6))
     ok = (
-        corr >= THRESHOLDS["corr"]
-        and mae <= THRESHOLDS["mae"]
-        and THRESHOLDS["mean_ratio"][0] <= mean_ratio <= THRESHOLDS["mean_ratio"][1]
+        corr >= thresholds["corr"]
+        and mae <= thresholds["mae"]
+        and thresholds["mean_ratio"][0] <= mean_ratio <= thresholds["mean_ratio"][1]
     )
-    return dict(corr=corr, mae=mae, mean_ratio=mean_ratio, ok=bool(ok))
+    return dict(corr=corr, mae=mae, mean_ratio=mean_ratio, ok=bool(ok),
+                tight=spp >= TIGHT_SPP)
 
 
 def structural_check(img: np.ndarray, sky_visible: bool) -> dict:
@@ -149,7 +157,7 @@ def main() -> None:
         write_png(f"/root/repo/renders/{name}.png", display)
         if name in GOLDEN_SCENES:
             golden = read_png(f"/root/reference/renders/{name}.png")
-            result = compare(display, golden)
+            result = compare(display, golden, spp)
         else:
             result = structural_check(display, sky_visible=name != "lamp")
         result["seconds"] = round(seconds, 3)  # includes jit compile

@@ -115,6 +115,46 @@ def main() -> int:
                     f"_skip{int(skip)}/tile{tile}", ref, got,
                 )
 
+    # Lamp-scale: the cluster-block table (~28 MB at C=256) exceeds
+    # fused.RESIDENT_BYTES, so packet_intersect splits it into VMEM-resident
+    # shards swept independently and min-merged — these rows certify the
+    # shard path's Mosaic lowering (incl. per-shard entry/mask slicing for
+    # the skip) at lamp's real cluster count. Reference: the legacy Pallas
+    # sweep with an uncapped pair budget (exact; the XLA path's dense
+    # (T, cap, tile) candidate buffer is infeasible at cap = K here).
+    lamp = load_scene(
+        "/root/reference/lamp.scene",
+        config_overrides=dict(width=128, height=128, rays_per_pixel=2, bounces=4),
+    )
+    from cuda_raytracer_tpu.ops.pallas import fused as pallas_fused
+
+    n_shards = -(-lamp.cluster_blocks.size * 4 // pallas_fused.RESIDENT_BYTES)
+    assert n_shards > 1, "lamp cluster table unexpectedly fits VMEM"
+    sl0 = wavefront.make_initial_state(
+        lamp, jnp.arange(lamp.num_pixels * 2, dtype=jnp.int32), 2, jnp.uint32(0)
+    )
+    sl1, _ = wavefront.process_rays(lamp, sl0, jnp.uint32(0), 0)
+    sl1s = wavefront.reorder_rays(lamp, sl1)
+    tL = jnp.full((lamp.num_pixels * 2,), intersect.MISS)
+    iL = jnp.full((lamp.num_pixels * 2,), -1, jnp.int32)
+    capL = lamp.num_clusters
+    for name, st in (("lamp_primary", sl0), ("lamp_b1_sorted", sl1s)):
+        alive = jnp.any(st.transmitted != 0.0, axis=-1)
+        cl = jnp.where(alive, tL, -1.0)
+        ref = pi.closest_hit_packet(
+            lamp, st.origin, st.direction, cl, iL,
+            cap=capL, tile=128, backend="pallas",
+        )
+        for tile, skip in ((64, False), (64, True), (32, True)):
+            got = pi.closest_hit_packet(
+                lamp, st.origin, st.direction, cl, iL,
+                cap=capL, tile=tile, backend="fused", skip=skip,
+            )
+            check(
+                f"{name}/fused_shards{n_shards}_skip{int(skip)}/tile{tile}",
+                ref, got,
+            )
+
     report["ok"] = ok
     out_path = sys.argv[1] if len(sys.argv) > 1 else "TPU_PARITY.json"
     with open(out_path, "w") as f:
