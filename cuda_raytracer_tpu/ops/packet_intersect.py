@@ -340,10 +340,17 @@ def closest_hit_packet(
             # zero dummy ray tile makes every MT test miss). This keeps the
             # batched resident kernel on scenes like lamp (~28 MB of
             # blocks) instead of falling back to the slower DMA-wave path.
-            budget = pallas_fused.RESIDENT_BYTES
+            # Shard to the call-shape-aware VMEM budget (the (T+1, tile)
+            # outputs are lane-padded to 128, so small tiles leave less room
+            # for the table — fused.resident_budget; RESIDENT_BYTES = 0
+            # forces the DMA-wave path via the same check downstream).
+            budget = (
+                pallas_fused.resident_budget(T, tile, C)
+                if pallas_fused.RESIDENT_BYTES > 0 else 0
+            )
             n_shards = (
                 max(1, -(-scene.cluster_blocks.size * 4 // budget))
-                if budget > 0 else 1  # budget 0 = force the DMA-wave path
+                if budget > 0 else 1  # budget <= 0 = force the DMA-wave path
             )
             n_shards = min(n_shards, K)
             bounds = [

@@ -48,7 +48,12 @@ GROUP = 8
 RINGT = 64
 # Cluster tables at or below this size stay VMEM-resident (v5e has ~16 MB of
 # VMEM; leave room for outputs, ray buffers and compiler temporaries).
+# 0 forces the DMA-wave escape hatch. The effective per-call cap also
+# subtracts the call-shape-dependent VMEM (resident_budget below).
 RESIDENT_BYTES = 12 << 20
+# Scoped-VMEM budget for one fused call: the v5e limit is 16.00 MiB and the
+# compiler adds temporaries, so leave ~1 MiB of headroom.
+VMEM_CALL_BUDGET = 15 << 20
 # SMEM budget for the double-buffered metadata chunk (bytes); the tile-chunk
 # size adapts to keep 2 * tc * (1 + Kw2 + Kw) * 4 under it.
 META_SMEM_BUDGET = 1 << 16
@@ -80,6 +85,26 @@ def _tile_chunk(Kw: int, Kw2: int) -> int:
             "reduce cluster count"
         )
     return tc
+
+
+def resident_budget(T: int, tile: int, C: int) -> int:
+    """Max cluster-table bytes the VMEM-resident variant can carry at these
+    call shapes. The (T+1, tile) f32 outputs are lane-padded to 128 by
+    Mosaic's (8, 128) tiling — at tile=32 that is 4x the logical size, and
+    hardware-verified to matter: the teapot C=128/tile=32 grad step demanded
+    16.06 MiB of scoped VMEM against the 16.00 MiB limit with the flat
+    12 MiB table cap. The MT batch staging buffer also scales with tile/C.
+    Callers shard the cluster table to this budget (packet_intersect) and
+    fused_closest_hit uses the same number to pick resident vs DMA-wave, so
+    the two can never disagree."""
+    out_bytes = 2 * (-(-(T + 1) // 8) * 8) * 128 * 4
+    blkB_bytes = _mt_batch_for(tile, C) * 16 * C * 4
+    ray_bytes = 2 * 8 * 128 * 4 + 2 * tile * 4  # ray_buf + acc rows
+    slack = 128 << 10  # compiler temporaries, semaphores, rounding
+    return min(
+        RESIDENT_BYTES,
+        VMEM_CALL_BUDGET - out_bytes - blkB_bytes - ray_bytes - slack,
+    )
 
 
 def _ctz16(w):
@@ -812,7 +837,9 @@ def fused_closest_hit(
     meta = jnp.pad(meta, ((0, tpad), (0, MW - 1 - Kw2))).reshape(-1)
     words = jnp.pad(words, ((0, tpad), (0, WW - Kw))).reshape(-1)
 
-    resident = blocks.size * 4 <= RESIDENT_BYTES
+    resident = (
+        RESIDENT_BYTES > 0 and blocks.size * 4 <= resident_budget(T, tile, C)
+    )
     skip = entry is not None and hitmask is not None and resident
     if resident:
         EW = 0
