@@ -164,7 +164,7 @@ def equal_area_project(direction, dt=np.float64):
 
 
 def sample_env(scene_np, direction):
-    dt = scene_np["dtype"]
+    dt = scene_np.get("dtype", np.float64)
     dx = direction[0] * dt(-0.386527) + direction[2] * dt(0.922278)
     dy = direction[0] * dt(-0.922278) + direction[2] * dt(-0.386527)
     dz = direction[1]
