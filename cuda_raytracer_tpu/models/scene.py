@@ -104,14 +104,17 @@ class RenderConfig:
     packet_backend: str = dataclasses.field(metadata=dict(static=True), default="auto")
     # Fused-kernel slab-entry early-out (BVH-style front-to-back skip of
     # pairs no slab-hitting ray can improve on, tested per ray against the
-    # cull's hit bitmask; exact — ops/pallas/fused.SKIP_SLACK).
-    # Off by default pending on-hardware measurement.
-    packet_skip: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # cull's hit bitmask; exact — ops/pallas/fused.SKIP_SLACK). Default ON:
+    # measured 81.7 → 79.1 ms on the bench grad step at tile=64/C=256
+    # (v5e, scripts/scan_skip.py, SCAN_r03.json); it only engages on the
+    # fused resident path, and is bit-exact there by construction.
+    packet_skip: bool = dataclasses.field(metadata=dict(static=True), default=True)
     # Two-level cull: sub-AABBs per cluster block (models/cluster.split_aabbs).
     # 1 = one BVH node box per block (round-1 behaviour); S > 1 culls each
     # block against S tight chunk boxes OR-reduced — strictly fewer swept
-    # pairs, identical results. Must divide cluster_tris. Default 1 pending
-    # on-hardware measurement.
+    # pairs, identical results. Must divide cluster_tris. Default 1: every
+    # split config measured slower on v5e (e.g. 87.9 → 95.1 ms at
+    # tile=32/C=128 — the S× wider cull outruns its pruning; SCAN_r03.json).
     cull_split: int = dataclasses.field(metadata=dict(static=True), default=1)
     # Hierarchical cull: G > 0 groups G consecutive clusters (BVH-cut DFS
     # order, so siblings) under one tight super-AABB; a cheap first cull
@@ -120,8 +123,10 @@ class RenderConfig:
     # most of the (tile, K*split) slab matrix is never computed. Gating is
     # conservative (a sub-box hit implies its super hits), so entries and
     # masks are bit-equal to the flat cull. G * cull_split must divide 128.
-    # 0 = flat cull. Default pending on-hardware measurement
-    # (scripts/scan_skip.py).
+    # 0 = flat cull (default): gating does recover cull cost where the cull
+    # is wide (95.1 → 93.8 ms at tile=32/C=128/S=2 with G=16), but every
+    # such wide-cull config loses to the shipped tile=64/C=256 anyway
+    # (79.1 ms), where the flat cull is too cheap to gate (SCAN_r03.json).
     cull_hier: int = dataclasses.field(metadata=dict(static=True), default=0)
     # Morton reorder engine: "argsort" = XLA bitonic argsort (total order);
     # "count" = stable matmul counting sort on the key's high origin bits
