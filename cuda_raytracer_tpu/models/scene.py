@@ -88,7 +88,10 @@ class RenderConfig:
     # Reorder only after bounces below this index: reordering pays through
     # intersection coherence, which stops mattering once most of the
     # wavefront is dead (rays sky out fast on open scenes). 0 = always.
-    sort_depth: int = dataclasses.field(metadata=dict(static=True), default=4)
+    # Default 5 per the v5e depth scan (SCAN_r03.json: -1: 96.2 ms, 2: 93.8,
+    # 3: 84.5, 4: 80.2, 5: 79.8 on the bench grad step — deeper sorting
+    # kept paying once the saved-permutation residual halved its cost).
+    sort_depth: int = dataclasses.field(metadata=dict(static=True), default=5)
     # Triangle intersector: "auto" (brute for small scenes, packet
     # otherwise), "brute", "packet" (ray-tile clustered — the fast path),
     # or "bvh" (lockstep stack traversal).
@@ -131,9 +134,10 @@ class RenderConfig:
     # Morton reorder engine: "argsort" = XLA bitonic argsort (total order);
     # "count" = stable matmul counting sort on the key's high origin bits
     # (ops/sort.py) — bit-identical images either way (any permutation is;
-    # the unsort restores ray order). Default pending hardware A/B
-    # (scripts/scan_sort.py).
-    sort_engine: str = dataclasses.field(metadata=dict(static=True), default="argsort")
+    # the unsort restores ray order). Default "count" per the v5e A/B
+    # (SCAN_r03.json: consistently ~0.4 ms under argsort at every depth,
+    # e.g. 80.2 vs 79.9 ms at depth 4).
+    sort_engine: str = dataclasses.field(metadata=dict(static=True), default="count")
 
 
 @jax.tree_util.register_dataclass
