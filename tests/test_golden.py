@@ -19,8 +19,10 @@ Known bias, not a bug: low-spp renders are systematically DARKER than the
 inequality turns zero-mean radiance noise into a negative display-mean bias.
 Measured on cornell at 100px: display mean ratio vs golden 0.946 / 0.999 /
 1.047 at 40 / 160 / 640 spp (the >1 tail is the resolution-dependent bloom
-of the downsampled golden, see above). This is why GOLDEN.json's cornell
-mean_ratio sits near 0.88 at 64 spp while the correlation is 0.97.
+of the downsampled golden, see above). At the goldens' own 1000 spp the
+bias vanishes and the gate tightens: GOLDEN.json (round 3, TPU, 1000x1000
+at 1000 spp) records corr 0.991-0.996, mae <= 1.9, mean_ratio 1.001-1.013
+on spheres/cornell/cornell_plus — the render sits ON the golden.
 """
 
 import numpy as np
