@@ -75,7 +75,12 @@ def parse(outdir, steps, top=40):
     with open(paths[-1], "rb") as f:
         xs.ParseFromString(f.read())
 
-    # Device plane: per-op events with duration. Aggregate by event name.
+    # Device plane, "XLA Ops" line only. Events on that line NEST (a cond's
+    # event spans its body's ops, async -start events span the transfer), so
+    # naive duration sums double-count by ~4x. Aggregate SELF time instead:
+    # walk events in start order with a containment stack and subtract each
+    # event's contained children — the result sums to the module wall time
+    # (verified: 75.3 vs 75.5 ms/step on the round-3 bench trace).
     by_name = collections.Counter()
     calls = collections.Counter()
     total_ps = 0
@@ -84,17 +89,29 @@ def parse(outdir, steps, top=40):
             continue
         ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
         for line in plane.lines:
-            # XLA Ops line carries the per-op timeline; skip step/module lines.
-            if line.name not in ("XLA Ops", "XLA TraceMe", "Steps") and \
-               "Ops" not in line.name:
+            if line.name != "XLA Ops":
                 continue
-            if line.name == "Steps":
-                continue
-            for ev in line.events:
-                name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
-                by_name[name] += ev.duration_ps
+            evs = sorted(
+                (ev.offset_ps, ev.duration_ps,
+                 ev_meta.get(ev.metadata_id, str(ev.metadata_id)))
+                for ev in line.events
+            )
+            stack = []  # (start, end, child_total) of open ancestors
+            rows_ = []
+            for start, dur, name in evs:
+                end = start + dur
+                while stack and stack[-1][1] <= start:
+                    stack.pop()
+                if stack:
+                    stack[-1][2][0] += dur
+                child = [0]
+                stack.append((start, end, child))
+                rows_.append((name, dur, child))
+            for name, dur, child in rows_:
+                self_ps = dur - child[0]
+                by_name[name] += self_ps
                 calls[name] += 1
-                total_ps += ev.duration_ps
+                total_ps += self_ps
     rows = by_name.most_common(top)
     out = {
         "total_device_ms_per_step": total_ps / 1e9 / steps,
@@ -111,7 +128,10 @@ def parse(outdir, steps, top=40):
     # Category buckets: pallas kernels vs everything else.
     def bucket(name: str) -> str:
         n = name.lower()
-        if "fused" in n or "cull" in n or "sweep" in n or "custom-call" in n:
+        # Pallas kernels only — plain XLA fusions also contain "fused"
+        # (calls=%fused_computation.N), so match the kernel names exactly.
+        if "fused_closest_hit" in n or "cull_tiles" in n or "sweep_pairs" in n \
+                or "tpu_custom_call" in n:
             return "pallas"
         if "sort" in n:
             return "sort"
@@ -121,6 +141,8 @@ def parse(outdir, steps, top=40):
             return "fusion"
         if "copy" in n or "transpose" in n or "bitcast" in n:
             return "copy"
+        if "broadcast" in n or "split" in n or n.startswith("%pad"):
+            return "materialize"
         if "dot" in n or "convolution" in n:
             return "dot"
         return "other"
