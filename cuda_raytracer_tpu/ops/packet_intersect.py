@@ -188,6 +188,55 @@ def closest_hit_packet(
         closest_p = closest
     T = Rp // tile
 
+    if backend in ("fused1", "fused1_interpret"):
+        # Single-program closest-hit (ops/pallas/fused1.py): cull + pack +
+        # walk + sweep in one kernel launch per table shard — no (T, K)
+        # entry/mask arrays, no XLA pack glue. Requires cull_split == 1
+        # (the in-kernel cull is flat) and a VMEM-resident table shard;
+        # larger tables run as merged shards exactly like the fused path.
+        from cuda_raytracer_tpu.ops.pallas import fused1 as pallas_fused1
+        from cuda_raytracer_tpu.ops.pallas.fused import resident_budget
+
+        if S != 1:
+            raise ValueError("fused1 backend requires cull_split == 1")
+        interpret = backend == "fused1_interpret"
+        comps = [
+            origin[:, 0], origin[:, 1], origin[:, 2],
+            direction[:, 0], direction[:, 1], direction[:, 2],
+            closest_p, jnp.zeros((Rp,), jnp.float32),
+        ]
+        od8 = jnp.stack([v.reshape(T, tile) for v in comps], axis=1)
+        od8 = jnp.pad(od8, ((0, 1), (0, 0), (0, max(0, 128 - tile))))
+        aabb8 = jnp.concatenate(
+            [scene.cluster_min.T, scene.cluster_max.T,
+             jnp.zeros((2, K), jnp.float32)], axis=0,
+        )  # (8, K)
+        budget = max(resident_budget(T, tile, C), 1)
+        n_shards = max(1, -(-scene.cluster_blocks.size * 4 // budget))
+        n_shards = max(n_shards, -(-K // pallas_fused1.MAX_K))
+        n_shards = min(n_shards, K)
+        out = None
+        for s in range(n_shards):
+            lo, hi = K * s // n_shards, K * (s + 1) // n_shards
+            t_s, tri_s = pallas_fused1.fused1_closest_hit(
+                od8, aabb8[:, lo:hi], scene.cluster_blocks[lo:hi],
+                tile=tile, interpret=interpret,
+            )
+            if out is None:
+                out = (t_s, tri_s)
+            else:
+                # Blocks carry GLOBAL triangle ids (row 9), so the shard
+                # merge is the same fold as the in-kernel accumulate.
+                t_p, tri_p = out
+                upd = (t_s < t_p) | ((t_s == t_p) & (tri_s > tri_p))
+                out = (jnp.where(upd, t_s, t_p), jnp.where(upd, tri_s, tri_p))
+        t_tile, tri_tile = out
+        cutoff = jnp.full((T,), jnp.inf)
+        return _finalize(
+            scene, t_tile[:T], tri_tile[:T], cutoff, closest, hit_index,
+            R, Rp, tile,
+        )
+
     if backend in ("pallas", "pallas_interpret", "fused", "fused_interpret"):
         # Pallas path: cull kernel (phase A) + cumsum pair extraction
         # (phase B, no cap/ranking — the sweep folds any number of pairs per

@@ -158,6 +158,39 @@ def test_packet_fused_backend_matches_xla():
         np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_f))
 
 
+def test_packet_fused1_backend_matches_xla():
+    """The single-program closest-hit (ops/pallas/fused1.py, interpret mode)
+    must agree with the XLA path bit-for-bit — same slab expression tree,
+    same MT core, same tie-break, and the per-ray-entry early-out must be
+    invisible in results. Covers single-shard and forced multi-shard."""
+    from cuda_raytracer_tpu.ops.pallas import fused as pallas_fused
+
+    scene = _scene_with_clusters(tri_count=3000, cluster_tris=128)
+    origin, direction = _random_rays(scene, 333)
+    t0 = jnp.full((333,), intersect.MISS)
+    i0 = jnp.full((333,), -1, jnp.int32)
+    cap = min(64, scene.num_clusters)
+    t_x, i_x, s_x = packet_intersect.closest_hit_packet(
+        scene, origin, direction, t0, i0, cap=cap
+    )
+    for tile, resident_bytes in ((64, None), (32, None), (64, 1 << 16)):
+        old = pallas_fused.RESIDENT_BYTES
+        if resident_bytes is not None:
+            pallas_fused.RESIDENT_BYTES = resident_bytes  # force shards
+        try:
+            jax.clear_caches()
+            t_f, i_f, s_f = packet_intersect.closest_hit_packet(
+                scene, origin, direction, t0, i0, cap=cap, tile=tile,
+                backend="fused1_interpret",
+            )
+        finally:
+            pallas_fused.RESIDENT_BYTES = old
+            jax.clear_caches()
+        assert int(s_x) == int(s_f) == 0
+        np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_f))
+        np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_f))
+
+
 def test_packet_two_round_matches_single_round():
     """The front-to-back two-round sweep (round 1: nearest clusters; round 2:
     tmax-tightened re-cull of the rest) must be exact — identical to the
