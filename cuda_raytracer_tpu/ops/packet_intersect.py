@@ -195,7 +195,6 @@ def closest_hit_packet(
         # (the in-kernel cull is flat) and a VMEM-resident table shard;
         # larger tables run as merged shards exactly like the fused path.
         from cuda_raytracer_tpu.ops.pallas import fused1 as pallas_fused1
-        from cuda_raytracer_tpu.ops.pallas.fused import resident_budget
 
         if S != 1:
             raise ValueError("fused1 backend requires cull_split == 1")
@@ -211,10 +210,10 @@ def closest_hit_packet(
             [scene.cluster_min.T, scene.cluster_max.T,
              jnp.zeros((2, K), jnp.float32)], axis=0,
         )  # (8, K)
-        budget = max(resident_budget(T, tile, C), 1)
-        n_shards = max(1, -(-scene.cluster_blocks.size * 4 // budget))
-        n_shards = max(n_shards, -(-K // pallas_fused1.MAX_K))
-        n_shards = min(n_shards, K)
+        # Shard count accounts for fused1's own VMEM residents (packing
+        # weights, per-ray hit/entry scratch, box table) on top of the
+        # block table — fused.resident_budget alone under-counts them.
+        n_shards = pallas_fused1.plan_shards(T, tile, C, K)
         out = None
         for s in range(n_shards):
             lo, hi = K * s // n_shards, K * (s + 1) // n_shards

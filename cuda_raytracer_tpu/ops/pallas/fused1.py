@@ -54,6 +54,40 @@ from cuda_raytracer_tpu.ops.pallas.sweep import MISS
 MAX_K = 2048
 
 
+def _shard_overhead_bytes(tile: int, K: int) -> int:
+    """fused1-only fixed VMEM footprint for a K-cluster shard, on top of the
+    block table itself: the (Kwp, Kp) packing-weight pair, the (Kp, lanes)
+    hit/entry scratch (lane-padded to 128 by Mosaic's (8, 128) tiling), the
+    (Kp, 8) box table and the packed-word staging column. fused.resident_budget
+    only accounts for the shapes the 3-stage fused kernel carries, so sizing
+    fused1 shards against it alone can bust the 15 MiB scoped-VMEM cap on
+    exactly the large scenes (e.g. lamp) that sharding is meant to handle."""
+    Kw = -(-K // 16)
+    Kwp = max(8, -(-Kw // 8) * 8)
+    Kp = Kw * 16
+    lanes = max(tile, 128)
+    weights = 2 * Kwp * Kp * 4
+    scratch = 2 * Kp * lanes * 4
+    aabb = Kp * 8 * 4
+    words = 2 * Kwp * 128 * 4  # (Kwp, 1) staging, lane-padded
+    return weights + scratch + aabb + words
+
+
+def plan_shards(T: int, tile: int, C: int, K: int) -> int:
+    """Number of table shards so each fused1 call fits the scoped-VMEM
+    budget: per-shard block bytes PLUS the fused1 fixed footprint (which
+    itself shrinks with the shard's K) must clear fused.resident_budget."""
+    budget = resident_budget(T, tile, C)
+    n = max(1, -(-K // MAX_K))
+    while n < K:
+        k_shard = -(-K // n)
+        need = k_shard * 16 * C * 4 + _shard_overhead_bytes(tile, k_shard)
+        if k_shard <= MAX_K and need <= budget:
+            break
+        n += 1
+    return min(n, K)
+
+
 def _fused1_kernel(
     od8_ref,  # (1, 8, L) f32 — this tile's component rows (BlockSpec)
     aabbT_ref,  # (Kp, 8) f32 VMEM — box columns [min xyz, max xyz, 0, 0]

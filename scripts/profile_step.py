@@ -91,11 +91,16 @@ def parse(outdir, steps, top=40):
         for line in plane.lines:
             if line.name != "XLA Ops":
                 continue
+            # Sort ties by DESCENDING duration so a parent that shares its
+            # start timestamp with its first child precedes it on the
+            # containment stack (ascending would push the parent as the
+            # child's child and drive its self time negative).
             evs = sorted(
-                (ev.offset_ps, ev.duration_ps,
-                 ev_meta.get(ev.metadata_id, str(ev.metadata_id)))
-                for ev in line.events
+                ((ev.offset_ps, -ev.duration_ps,
+                  ev_meta.get(ev.metadata_id, str(ev.metadata_id)))
+                 for ev in line.events)
             )
+            evs = [(off, -ndur, name) for off, ndur, name in evs]
             stack = []  # (start, end, child_total) of open ancestors
             rows_ = []
             for start, dur, name in evs:

@@ -89,7 +89,25 @@ def main() -> None:
 V5E_ICI_AXIS_BYTES_S = 9.0e10
 
 
-def ici_model(scene, n: int, step_ms: float = 77.3) -> dict:
+def _bench_step_ms(default: float = 77.3) -> float:
+    """Measured bench step time: read the newest BENCH_r*.json rather than
+    baking a constant, so collective_fraction_of_bench_step tracks the bench
+    as it changes."""
+    import glob
+
+    paths = sorted(glob.glob("BENCH_r*.json"))
+    for path in reversed(paths):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            sec = rec["parsed"]["detail"]["seconds_per_step"]
+            return float(sec) * 1e3
+        except Exception:
+            continue
+    return default
+
+
+def ici_model(scene, n: int, step_ms: float | None = None) -> dict:
     """Analytic bound on the sharded train step's ICI collective cost.
 
     The data-parallel step (parallel/shard.py) is embarrassingly parallel
@@ -104,6 +122,8 @@ def ici_model(scene, n: int, step_ms: float = 77.3) -> dict:
     scaling-efficiency target cannot be broken by ICI traffic at any
     realistic slice size; the exposure is load imbalance and per-pass host
     orchestration, which the sharded pass loop keeps off the step path."""
+    if step_ms is None:
+        step_ms = _bench_step_ms()
     px = scene.num_pixels
     fb_bytes = px * 3 * 4
     m = scene.materials
