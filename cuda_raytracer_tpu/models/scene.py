@@ -138,6 +138,19 @@ class RenderConfig:
     # (SCAN_r03.json: consistently ~0.4 ms under argsort at every depth,
     # e.g. 80.2 vs 79.9 ms at depth 4).
     sort_engine: str = dataclasses.field(metadata=dict(static=True), default="count")
+    # Static per-bounce live-prefix divisors (dead-ray compaction without
+    # the runtime lax.switch, whose branches copy the full wavefront state
+    # in and out — XLA conditional semantics). Entry b is the divisor for
+    # bounce b (prefix = ceil(R / divisor) rounded up to the sort quantum;
+    # bounces past the tuple reuse its last entry). The wavefront's dynamic
+    # live bound is checked against each static prefix and any violation
+    # is reported through the exactness certificate — render orchestration
+    # then retries with the schedule off (pipeline.render_framebuffer), so
+    # a stale schedule can never corrupt an image. () = dynamic lax.switch.
+    # Calibrate with render/diff.calibrate_live_schedule.
+    live_schedule: tuple = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
 
 
 @jax.tree_util.register_dataclass

@@ -210,16 +210,52 @@ def closest_hit_packet(
             [scene.cluster_min.T, scene.cluster_max.T,
              jnp.zeros((2, K), jnp.float32)], axis=0,
         )  # (8, K)
-        # Shard count accounts for fused1's own VMEM residents (packing
-        # weights, per-ray hit/entry scratch, box table) on top of the
-        # block table — fused.resident_budget alone under-counts them.
+        # Shard count accounts for fused1's own VMEM residents (per-ray
+        # entry scratch, box table, packing weights) on top of the block
+        # table — fused.resident_budget alone under-counts them.
         n_shards = pallas_fused1.plan_shards(T, tile, C, K)
+
+        # In-kernel chunk-gated cull (config.cull_hier = G clusters per
+        # tight super box, BVH-cut DFS order so siblings group): the shard's
+        # dense slab matrix is computed 128 columns at a time, each chunk
+        # only when one of its supers is hit. Conservative ⇒ bit-equal.
+        G = getattr(scene.config, "cull_hier", 0)
+        if G and pallas_fused1.CHUNK % G:
+            raise ValueError(f"cull_hier={G} must divide {pallas_fused1.CHUNK}")
+
+        def shard_supers(lo, hi):
+            ks = hi - lo
+            n_sup = -(-ks // G)
+            pad = n_sup * G - ks
+            smin = jnp.pad(
+                scene.cluster_min[lo:hi], ((0, pad), (0, 0)),
+                constant_values=jnp.inf,
+            ).reshape(n_sup, G, 3)
+            smax = jnp.pad(
+                scene.cluster_max[lo:hi], ((0, pad), (0, 0)),
+                constant_values=-jnp.inf,
+            ).reshape(n_sup, G, 3)
+            # Padding clusters are far point boxes (1e17); exclude them from
+            # the tight union so supers stay tight (an all-padding group
+            # keeps the far point box).
+            is_pad = smin[:, :, 0] >= 1e16
+            gmin = jnp.where(is_pad[:, :, None], jnp.inf, smin).min(axis=1)
+            gmax = jnp.where(is_pad[:, :, None], -jnp.inf, smax).max(axis=1)
+            empty = jnp.all(is_pad, axis=1)[:, None]
+            gmin = jnp.where(empty, 1e17, gmin)
+            gmax = jnp.where(empty, 1e17, gmax)
+            return jnp.concatenate(
+                [gmin.T, gmax.T, jnp.zeros((2, n_sup), jnp.float32)], axis=0
+            )  # (8, n_sup)
+
         out = None
         for s in range(n_shards):
             lo, hi = K * s // n_shards, K * (s + 1) // n_shards
+            gate = G if (G and hi - lo > pallas_fused1.CHUNK) else 0
             t_s, tri_s = pallas_fused1.fused1_closest_hit(
                 od8, aabb8[:, lo:hi], scene.cluster_blocks[lo:hi],
-                tile=tile, interpret=interpret,
+                tile=tile, interpret=interpret, gate_g=gate,
+                sup_aabb=shard_supers(lo, hi) if gate else None,
             )
             if out is None:
                 out = (t_s, tri_s)

@@ -120,6 +120,51 @@ def check_radiance_exact(
     return int(suspect)
 
 
+def calibrate_live_schedule(
+    scene: Scene,
+    rays_per_pixel: int = None,
+    bounces: int = None,
+    seeds=(0, 1),
+    margin: float = 1.25,
+) -> tuple:
+    """Measure per-bounce live bounds and derive a static live-prefix
+    schedule (config.live_schedule) for this scene/shape.
+
+    The schedule replaces the per-bounce lax.switch (whose branches copy
+    the full wavefront state in and out — XLA conditional semantics) with
+    trace-time prefixes. ``margin`` head-rooms seed-to-seed variance; the
+    schedule certificate (wavefront.bounce_on_live_prefix) still catches
+    any pass that outgrows it, so a stale schedule degrades to a retry,
+    never to a wrong image. Returns a tuple of per-bounce divisors suitable
+    for ``dataclasses.replace(scene.config, live_schedule=...)``."""
+    cfg = scene.config
+    rays_per_pixel = rays_per_pixel or cfg.rays_per_pixel
+    bounces = bounces or cfg.bounces
+    R = scene.num_pixels * rays_per_pixel
+
+    @jax.jit
+    def measure(seed):
+        ray_id = jnp.arange(R, dtype=jnp.int32)
+        state = wavefront.make_initial_state(scene, ray_id, rays_per_pixel, seed)
+        return wavefront.trace_live_bounds(
+            scene, state, seed, bounces, cfg.sort_rays
+        )
+
+    import numpy as np
+
+    bounds = np.maximum.reduce(
+        [np.asarray(measure(jnp.uint32(s))) for s in seeds]
+    )
+    divisors = []
+    for b in range(bounces):
+        need = min(R, int(np.ceil(margin * float(bounds[b]))))
+        d = 1
+        while d < 1024 and wavefront.prefix_for_divisor(scene, R, 2 * d) >= need:
+            d *= 2
+        divisors.append(d)
+    return tuple(divisors)
+
+
 def loss_against_target(
     params: SceneParams,
     scene: Scene,

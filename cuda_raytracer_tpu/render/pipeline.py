@@ -197,6 +197,23 @@ def render_framebuffer(
         import dataclasses
         import warnings
 
+        if auto_retry and cfg.live_schedule:
+            # A stale static live-prefix schedule (config.live_schedule)
+            # reports unprocessed live rays through the same certificate;
+            # drop the schedule and re-render before touching the packet cap.
+            warnings.warn(
+                f"closest-hit certificate flagged {suspects} suspect "
+                "ray-bounces with a static live_schedule set; re-rendering "
+                "with the dynamic live-prefix switch"
+            )
+            retry = scene.replace(
+                config=dataclasses.replace(cfg, live_schedule=())
+            )
+            return render_framebuffer(
+                retry, progress=progress, checkpoint_path=checkpoint_path,
+                checkpoint_every=checkpoint_every, metrics=metrics,
+                auto_retry=auto_retry,
+            )
         cap = cfg.packet_cap
         if auto_retry and cap < scene.num_clusters:
             new_cap = min(max(cap * 2, 8), scene.num_clusters)

@@ -462,19 +462,27 @@ def process_rays_tiled(
 LIVE_PREFIX_DIVISORS = (1, 4, 16, 64)
 
 
-def live_prefix_sizes(scene: Scene, rays: int) -> list:
-    """Static prefix sizes (descending) for dead-ray compaction.
-
-    Granularity: whole intersection tiles when the Morton sort is global;
-    whole sort chunks otherwise (a prefix sort must respect the same chunk
-    boundaries as the full-wavefront sort, or the chunk-local by-ray-id
-    unsort in accumulate_radiance would break)."""
+def prefix_quantum(scene: Scene, rays: int) -> int:
+    """Prefix granularity: whole intersection tiles when the Morton sort is
+    global; whole sort chunks otherwise (a prefix sort must respect the same
+    chunk boundaries as the full-wavefront sort, or the chunk-local
+    by-ray-id unsort in accumulate_radiance would break)."""
     cs = sort_chunk_size(rays)
-    quantum = scene.config.packet_tile if cs == rays else cs
+    return scene.config.packet_tile if cs == rays else cs
+
+
+def prefix_for_divisor(scene: Scene, rays: int, divisor: int) -> int:
+    """ceil(rays / divisor) rounded up to the prefix quantum."""
+    quantum = prefix_quantum(scene, rays)
+    n = -(-rays // max(1, divisor))
+    return min(rays, -(-n // quantum) * quantum)
+
+
+def live_prefix_sizes(scene: Scene, rays: int) -> list:
+    """Static prefix sizes (descending) for dead-ray compaction."""
     sizes = []
     for div in LIVE_PREFIX_DIVISORS:
-        n = -(-rays // div)  # ceil(R / div)
-        n = min(rays, -(-n // quantum) * quantum)  # round up to the quantum
+        n = prefix_for_divisor(scene, rays, div)
         if n not in sizes:
             sizes.append(n)
     return sizes
@@ -488,6 +496,7 @@ def bounce_on_live_prefix(
     live_bound: jnp.ndarray,  # () int32 — all live rays sit below this row
     do_sort: bool,
     reparam: bool = False,
+    static_divisor: int = None,
 ) -> Tuple[RayState, jnp.ndarray, jnp.ndarray]:
     """One bounce (process + optional Morton reorder + live recount) on the
     smallest static prefix covering the live rays — the TPU form of
@@ -504,7 +513,14 @@ def bounce_on_live_prefix(
     exact live count whenever the prefix was sorted in one piece (dead keys
     sort last). The prefix choice is a lax.switch over static slice sizes —
     data-dependent at runtime, fully differentiable, static shapes
-    throughout."""
+    throughout.
+
+    ``static_divisor`` (config.live_schedule) replaces the runtime switch
+    with one TRACE-TIME prefix — no conditional, so none of the switch's
+    full-state operand copies. Exactness stays guaranteed: any bounce whose
+    dynamic live bound exceeds its static prefix reports the overhang
+    through the suspect count (the certificate channel), and render
+    orchestration retries with the schedule off."""
     rays = state.origin.shape[0]
     cs = sort_chunk_size(rays)
     sizes = live_prefix_sizes(scene, rays)
@@ -534,6 +550,14 @@ def bounce_on_live_prefix(
             return merged, bound, suspect
 
         return fn
+
+    if static_divisor is not None:
+        n = prefix_for_divisor(scene, rays, static_divisor)
+        merged, bound, suspect = run_prefix(n)(state)
+        # Schedule certificate: live rays beyond the static prefix were not
+        # processed — count them as suspect (0 when the schedule holds).
+        overhang = jnp.maximum(live_bound - n, 0)
+        return merged, bound, suspect + overhang
 
     if len(sizes) == 1:
         return run_prefix(sizes[0])(state)
@@ -724,9 +748,13 @@ def trace_wavefront(
             if do_sort:
                 new_state = reorder_rays(scene, new_state)
             return new_state, live_bound, suspect
+        sched = scene.config.live_schedule
+        static_divisor = (
+            int(sched[min(bounce, len(sched) - 1)]) if sched else None
+        )
         return bounce_on_live_prefix(
             scene, state, pass_seed, bounce, live_bound, do_sort,
-            reparam=reparam,
+            reparam=reparam, static_divisor=static_divisor,
         )
 
     policy = jax.checkpoint_policies.save_only_these_names(
@@ -743,6 +771,34 @@ def trace_wavefront(
         state, live_bound, suspect = step(state, live_bound, bounce)
         suspect_total = suspect_total + suspect
     return state, suspect_total
+
+
+def trace_live_bounds(
+    scene: Scene,
+    state: RayState,
+    pass_seed,
+    bounces: int,
+    sort_rays: bool,
+) -> jnp.ndarray:
+    """Per-bounce ENTERING live bounds of a full (uncompacted) trace — the
+    calibration input for config.live_schedule. Replicates the bound
+    recurrence of the scheduled path: the bound tightens to the exact live
+    count after each sorted bounce (a live-first sort parks dead rays last)
+    and carries over unsorted ones."""
+    sort_rays = sort_rays and reorder_is_useful(scene)
+    sort_depth = scene.config.sort_depth or bounces
+    R = state.origin.shape[0]
+    bound = jnp.int32(R)
+    bounds = []
+    for bounce in range(bounces):
+        bounds.append(bound)
+        state, _ = process_rays_tiled(scene, state, pass_seed, bounce)
+        if sort_rays and bounce + 1 != bounces and bounce < sort_depth:
+            state = reorder_rays(scene, state)
+            if sort_chunk_size(R) == R:
+                alive = jnp.any(state.transmitted != 0.0, axis=-1)
+                bound = jnp.sum(alive).astype(jnp.int32)
+    return jnp.stack(bounds)
 
 
 @jax.custom_vjp

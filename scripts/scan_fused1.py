@@ -30,7 +30,7 @@ BOUNCES = 10
 REPEATS = 10
 
 
-def bench_scene(backend, **extra):
+def bench_scene(backend, cluster_tris=None, **extra):
     return load_scene(
         "/root/reference/teapot.scene",
         config_overrides=dict(
@@ -38,6 +38,7 @@ def bench_scene(backend, **extra):
             rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES,
             packet_backend=backend, **extra,
         ),
+        **({"cluster_tris": cluster_tris} if cluster_tris else {}),
     )
 
 
@@ -62,30 +63,46 @@ def time_grad_step(scene):
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--fullres", action="store_true")
-    parser.add_argument("--tiles", default="64")
+    parser.add_argument(
+        "--configs", default="64,256,0",
+        help="semicolon list of tile,cluster_tris,cull_hier",
+    )
     args = parser.parse_args()
     enable_persistent_cache()
 
+    # configs: (tile, cluster_tris, cull_hier)
+    configs = []
+    for spec in args.configs.split(";"):
+        t, c, g = (int(v) for v in spec.split(","))
+        configs.append((t, c, g))
+
     fb_ref = np.asarray(pipeline.render_framebuffer(bench_scene("auto")))
-    tiles = [int(t) for t in args.tiles.split(",")]
-    for tile in tiles:
+    for tile, ct, g in configs:
         fb = np.asarray(
-            pipeline.render_framebuffer(bench_scene("fused1", packet_tile=tile))
+            pipeline.render_framebuffer(
+                bench_scene("fused1", packet_tile=tile, cull_hier=g,
+                            cluster_tris=ct)
+            )
         )
         equal = bool((fb_ref == fb).all())
-        print(json.dumps({"scan": "fused1_bitequal", "tile": tile,
-                          "equal": equal}), flush=True)
+        print(json.dumps({"scan": "fused1_bitequal", "tile": tile, "ct": ct,
+                          "hier": g, "equal": equal}), flush=True)
         if not equal:
             print(json.dumps({"scan": "mismatch_frac",
                               "frac": float((fb_ref != fb).mean())}))
             return 1
 
-    for backend in ("auto", "fused1"):
-        for tile in tiles if backend == "fused1" else [64]:
-            t = time_grad_step(bench_scene(backend, packet_tile=tile))
-            print(json.dumps({"scan": "fused1_grad", "backend": backend,
-                              "tile": tile,
-                              "ms_per_step": round(t * 1e3, 2)}), flush=True)
+    t = time_grad_step(bench_scene("auto"))
+    print(json.dumps({"scan": "fused1_grad", "backend": "auto",
+                      "ms_per_step": round(t * 1e3, 2)}), flush=True)
+    for tile, ct, g in configs:
+        t = time_grad_step(
+            bench_scene("fused1", packet_tile=tile, cull_hier=g,
+                        cluster_tris=ct)
+        )
+        print(json.dumps({"scan": "fused1_grad", "backend": "fused1",
+                          "tile": tile, "ct": ct, "hier": g,
+                          "ms_per_step": round(t * 1e3, 2)}), flush=True)
 
     if args.fullres:
         for backend in ("auto", "fused1"):

@@ -191,6 +191,38 @@ def test_packet_fused1_backend_matches_xla():
         np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_f))
 
 
+def test_packet_fused1_gated_cull_matches_flat():
+    """The fused1 in-kernel chunk-gated cull (cull_hier = G clusters per
+    tight super box) must be invisible in results: gating is conservative
+    (a sub-box slab hit implies its super hits, by interval inclusion under
+    the windowed test), so the emitted pair set — hence every output bit —
+    matches the flat cull and the XLA reference."""
+    import dataclasses
+
+    scene = _scene_with_clusters(tri_count=15000, cluster_tris=128)
+    assert scene.num_clusters > 128, "need > 1 cull chunk for gating"
+    origin, direction = _random_rays(scene, 333)
+    t0 = jnp.full((333,), intersect.MISS)
+    i0 = jnp.full((333,), -1, jnp.int32)
+    # Full cap: with K > 128 clusters a 64-pair tile budget overflows the
+    # XLA reference's certificate on this dense random cloud.
+    cap = scene.num_clusters
+    t_x, i_x, s_x = packet_intersect.closest_hit_packet(
+        scene, origin, direction, t0, i0, cap=cap
+    )
+    gated = scene.replace(
+        config=dataclasses.replace(scene.config, cull_hier=16)
+    )
+    for sc in (scene, gated):
+        t_f, i_f, s_f = packet_intersect.closest_hit_packet(
+            sc, origin, direction, t0, i0, cap=cap, tile=64,
+            backend="fused1_interpret",
+        )
+        assert int(s_x) == int(s_f) == 0
+        np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_f))
+        np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_f))
+
+
 def test_packet_two_round_matches_single_round():
     """The front-to-back two-round sweep (round 1: nearest clusters; round 2:
     tmax-tightened re-cull of the rest) must be exact — identical to the

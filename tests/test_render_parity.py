@@ -111,6 +111,46 @@ def test_sort_vs_no_sort_identical_mesh_scene():
     np.testing.assert_array_equal(a, b)
 
 
+def test_live_schedule_identical_and_certified():
+    """A static live-prefix schedule (config.live_schedule) must be
+    invisible in results when it covers the live bounds — and a schedule
+    that is too tight must trip the certificate and auto-retry back to the
+    dynamic switch, never ship a wrong image."""
+    import dataclasses
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        scene = load_scene(
+            f"{REF}/teapot.scene",
+            config_overrides=dict(width=12, height=12, packet_cap=1 << 14,
+                                  rays_per_pixel=4, bounces=5),
+        )
+    fb_ref = np.asarray(render_framebuffer(scene))
+
+    from cuda_raytracer_tpu.render import diff
+
+    sched = diff.calibrate_live_schedule(scene)
+    assert sched[0] == 1  # bounce 0 is always fully live
+    scheduled = scene.replace(
+        config=dataclasses.replace(scene.config, live_schedule=sched)
+    )
+    fb_s = np.asarray(render_framebuffer(scheduled))
+    np.testing.assert_array_equal(fb_ref, fb_s)
+
+    # A schedule that prunes live rays must fail loudly / retry, not
+    # corrupt: divisor 1024 at bounce 1 cannot cover teapot's ~80% live
+    # fraction.
+    bad = scene.replace(
+        config=dataclasses.replace(scene.config, live_schedule=(1, 1024))
+    )
+    with pytest.raises(RuntimeError, match="exactness certificate"):
+        render_framebuffer(bad, auto_retry=False)
+    with pytest.warns(UserWarning, match="live_schedule"):
+        fb_bad = np.asarray(render_framebuffer(bad))
+    np.testing.assert_array_equal(fb_ref, fb_bad)
+
+
 def test_bvh_vs_no_bvh_identical_image():
     # The reference's own A/B harness (no_bvh flag): identical renders
     # (scene.cu:820, SURVEY §4.3).
