@@ -48,6 +48,23 @@ def main() -> int:
             rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES,
         ),
     )
+    # Static live-prefix schedule (SCAN_r04: 77.8 → 49.9 ms/step): calibrate
+    # per-bounce live bounds for this scene/shape, then AUDIT one full pass
+    # with the exactness certificate before trusting it — on a nonzero
+    # suspect count the bench falls back to the dynamic switch (exact).
+    import dataclasses
+
+    sched = diff.calibrate_live_schedule(
+        scene, rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES
+    )
+    audited = scene.replace(
+        config=dataclasses.replace(scene.config, live_schedule=sched)
+    )
+    if diff.check_radiance_exact(
+        audited, rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES
+    ) == 0:
+        scene = audited
+
     params, _ = diff.split_params(scene)
     target = jnp.zeros((scene.num_pixels, 3), jnp.float32)
 

@@ -134,10 +134,12 @@ class RenderConfig:
     # Morton reorder engine: "argsort" = XLA bitonic argsort (total order);
     # "count" = stable matmul counting sort on the key's high origin bits
     # (ops/sort.py) — bit-identical images either way (any permutation is;
-    # the unsort restores ray order). Default "count" per the v5e A/B
-    # (SCAN_r03.json: consistently ~0.4 ms under argsort at every depth,
-    # e.g. 80.2 vs 79.9 ms at depth 4).
-    sort_engine: str = dataclasses.field(metadata=dict(static=True), default="count")
+    # the unsort restores ray order). Default "auto": per-regime — count's
+    # scatter-apply wins up to 2^17-row chunks (SCAN_r03: ~0.4 ms under
+    # argsort on the bench grad step) and loses on 2^18-row full-res blocks
+    # (SCAN_r04: teapot 10 spp 3.40 vs 2.77 s — round 3's global "count"
+    # default was the full-res regression).
+    sort_engine: str = dataclasses.field(metadata=dict(static=True), default="auto")
     # Static per-bounce live-prefix divisors (dead-ray compaction without
     # the runtime lax.switch, whose branches copy the full wavefront state
     # in and out — XLA conditional semantics). Entry b is the divisor for

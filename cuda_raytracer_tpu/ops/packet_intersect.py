@@ -219,7 +219,12 @@ def closest_hit_packet(
         # tight super box, BVH-cut DFS order so siblings group): the shard's
         # dense slab matrix is computed 128 columns at a time, each chunk
         # only when one of its supers is hit. Conservative ⇒ bit-equal.
-        G = getattr(scene.config, "cull_hier", 0)
+        # cull_hier == 0 means AUTO here (G = 16, measured: 83.2 → 78.3 ms
+        # bench grad step at C=256, and the full-res win depends on it);
+        # pass -1 to force the flat cull.
+        G = getattr(scene.config, "cull_hier", 0) or 16
+        if G < 0:
+            G = 0
         if G and pallas_fused1.CHUNK % G:
             raise ValueError(f"cull_hier={G} must divide {pallas_fused1.CHUNK}")
 

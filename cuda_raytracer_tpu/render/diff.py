@@ -223,10 +223,36 @@ def make_train_step(
     rays_per_pixel: int,
     bounces: int,
     reparam: bool = False,
+    live_schedule="auto",
 ):
     """Build a jitted single-device inverse-rendering train step:
     ``step(params, opt_state, target, seed) -> (params, opt_state, loss)``.
-    The multi-chip version lives in parallel/shard.py."""
+    The multi-chip version lives in parallel/shard.py.
+
+    ``live_schedule``: "auto" (default) calibrates a static live-prefix
+    schedule for this scene/shape (calibrate_live_schedule) and audits one
+    full pass with the exactness certificate (check_radiance_exact) before
+    trusting it — measured 77.8 → 49.9 ms/step on the teapot bench shape
+    (v5e, SCAN_r04: the dynamic lax.switch's full-state operand copies plus
+    its coarser prefix grid). Pass an explicit tuple to pin a schedule, or
+    None to keep the dynamic switch."""
+    import dataclasses
+
+    if live_schedule == "auto":
+        live_schedule = calibrate_live_schedule(
+            scene, rays_per_pixel=rays_per_pixel, bounces=bounces
+        )
+    if live_schedule:
+        audited = scene.replace(
+            config=dataclasses.replace(
+                scene.config, live_schedule=tuple(live_schedule)
+            )
+        )
+        if check_radiance_exact(
+            audited, rays_per_pixel=rays_per_pixel, bounces=bounces
+        ) == 0:
+            scene = audited
+        # else: stale/tight schedule — keep the dynamic switch (exact).
 
     @jax.jit
     def train_step(params, opt_state, target, seed):

@@ -73,6 +73,37 @@ def _render_block(
     return framebuffer, suspect
 
 
+def _regime_scene(scene: Scene, rays_per_pixel: int) -> Scene:
+    """Resolve packet_backend "auto" per PASS regime.
+
+    Production multi-sample passes (≥ 10 rays/pixel traced together, e.g.
+    the reference's 20-spp chunks) carry strong per-pixel primary coherence
+    and long dead tails inside each ray block — there the single-program
+    fused1 kernel (in-kernel gated cull, whole-tile dead early-out, no
+    (T, K) HBM tables) measured fastest on v5e (teapot 1000² 10 spp: 2.62 s
+    vs 2.96 s 3-stage, bit-equal — SCAN_r04 ab_fullres). Sparse-sample
+    shapes (training steps, low-spp renders) keep the 3-stage fused path
+    (77.6 vs 78.3 ms on the bench grad step), and so do scenes whose block
+    table splits into 3+ VMEM shards — each fused1 shard re-runs the
+    in-kernel cull over every ray tile, and on lamp (~28 MB of blocks)
+    that measured 4.65 vs 4.39 s. Explicit packet_backend values are never
+    overridden."""
+    import dataclasses
+
+    cfg = scene.config
+    if (
+        cfg.packet_backend == "auto"
+        and rays_per_pixel >= 10
+        and cfg.cull_split == 1
+        and scene.cluster_blocks.size * 4 <= (16 << 20)
+        and jax.default_backend() == "tpu"
+    ):
+        return scene.replace(
+            config=dataclasses.replace(cfg, packet_backend="fused1")
+        )
+    return scene
+
+
 def render_pass(
     scene: Scene,
     framebuffer: jnp.ndarray,  # (pixels, 3) raw accumulated sums — donated
@@ -94,6 +125,7 @@ def render_pass(
     pixels = framebuffer.shape[0]
     total = pixels * rays_per_pixel
     block = max(rays_per_pixel, (RAY_BLOCK // rays_per_pixel) * rays_per_pixel)
+    scene = _regime_scene(scene, rays_per_pixel)
     suspect = jnp.zeros((), jnp.int32)
     lo = 0
     while lo + block <= total:

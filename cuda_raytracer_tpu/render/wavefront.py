@@ -661,12 +661,20 @@ def reorder_rays(
     cs = chunk_size if chunk_size is not None else sort_chunk_size(R)
     packed = _pack_state(state)
     nc = R // cs
+    engine = scene.config.sort_engine
+    if engine == "auto":
+        # Per-regime engine (v5e, SCAN_r04): the matmul counting sort's
+        # scatter-apply wins up to 2^17-row chunks (79.8 vs 80.2 ms bench
+        # grad step) but loses badly on 2^18-row full-res blocks (teapot
+        # 10 spp 3.40 vs 2.77 s) — the bitonic argsort + gather scales
+        # better past ~131k rows.
+        engine = "count" if cs <= (1 << 17) else "argsort"
     # The permutation is saved as a checkpoint residual ("sort_order",
     # trace_wavefront's policy): it costs 4 bytes/ray/bounce, and saving it
     # turns the backward rematerialisation's argsort (~3 ms at R=131k, the
     # bitonic sort is O(cs log^2 cs)) back into a plain gather (or, for the
     # counting engine, a unique-index scatter).
-    if scene.config.sort_engine == "count":
+    if engine == "count":
         # Stable matmul counting sort (ops/sort.py): dest[i] is where row i
         # moves, chunk-local. Applied as a unique-index scatter; its VJP is
         # a plain gather by dest. Dead rays land last per chunk, like the

@@ -31,7 +31,7 @@ def main() -> int:
     parser.add_argument("--spp", type=int, default=10)
     parser.add_argument(
         "--configs",
-        # backend,sort_depth,packet_skip,cluster_tris,cull_hier
+        # backend,sort_depth,packet_skip,cluster_tris,cull_hier[,sort_engine]
         default=(
             "auto,5,1,256,0;auto,2,1,256,0;auto,5,0,256,0;auto,2,0,256,0;"
             "fused1,5,1,256,16;fused1,2,1,256,16"
@@ -41,7 +41,9 @@ def main() -> int:
     enable_persistent_cache()
 
     for spec in args.configs.split(";"):
-        backend, depth, skip, ct, hier = spec.split(",")
+        parts = spec.split(",")
+        backend, depth, skip, ct, hier = parts[:5]
+        engine = parts[5] if len(parts) > 5 else "count"
         scene = load_scene(
             f"/root/reference/{args.scene}.scene",
             config_overrides=dict(
@@ -50,6 +52,7 @@ def main() -> int:
                 sort_depth=int(depth),
                 packet_skip=bool(int(skip)),
                 cull_hier=int(hier),
+                sort_engine=engine,
             ),
             cluster_tris=int(ct),
         )
@@ -66,6 +69,7 @@ def main() -> int:
                     "skip": bool(int(skip)),
                     "ct": int(ct),
                     "hier": int(hier),
+                    "engine": engine,
                     "seconds": round(seconds, 3),
                 }
             ),
