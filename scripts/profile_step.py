@@ -30,7 +30,8 @@ RAYS_PER_PIXEL = 2
 BOUNCES = 10
 
 
-def capture(tile=None, ct=None, steps=3, outdir="/tmp/profile_step"):
+def capture(tile=None, ct=None, steps=3, outdir="/tmp/profile_step",
+            schedule=False):
     import jax
     import jax.numpy as jnp
 
@@ -48,6 +49,16 @@ def capture(tile=None, ct=None, steps=3, outdir="/tmp/profile_step"):
         config_overrides=overrides,
         **(dict(cluster_tris=ct) if ct else {}),
     )
+    if schedule:
+        # The bench configuration: calibrated static live-prefix schedule.
+        import dataclasses
+
+        sched = diff.calibrate_live_schedule(
+            scene, rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES
+        )
+        scene = scene.replace(
+            config=dataclasses.replace(scene.config, live_schedule=sched)
+        )
     params, _ = diff.split_params(scene)
     target = jnp.zeros((scene.num_pixels, 3), jnp.float32)
     grad_fn = jax.jit(
@@ -169,11 +180,15 @@ def main() -> int:
     parser.add_argument("--steps", type=int, default=3)
     parser.add_argument("--parse-only", default=None,
                         help="skip capture; parse this trace dir")
+    parser.add_argument("--schedule", action="store_true",
+                        help="calibrate + apply the static live-prefix "
+                             "schedule (the bench configuration)")
     args = parser.parse_args()
     if args.parse_only:
         outdir, steps = args.parse_only, args.steps
     else:
-        outdir, steps = capture(args.tile, args.ct, args.steps)
+        outdir, steps = capture(args.tile, args.ct, args.steps,
+                                schedule=args.schedule)
     out = parse(outdir, steps, args.top)
     print(json.dumps(out, indent=2))
     return 0

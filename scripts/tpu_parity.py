@@ -154,6 +154,44 @@ def main() -> int:
                 f"{name}/fused_shards{n_shards}_skip{int(skip)}/tile{tile}",
                 ref, got,
             )
+        # fused1 on the sharded table (plan_shards > 1 at lamp scale):
+        # certifies the single-program kernel's per-shard cull/pack/walk/
+        # sweep + the XLA shard merge, gated and flat.
+        for tile, hier in ((64, 0), (64, -1), (32, 0)):
+            sc = lamp
+            if hier:
+                import dataclasses
+
+                sc = lamp.replace(
+                    config=dataclasses.replace(lamp.config, cull_hier=hier)
+                )
+            got = pi.closest_hit_packet(
+                sc, st.origin, st.direction, cl, iL,
+                cap=capL, tile=tile, backend="fused1",
+            )
+            check(f"{name}/fused1_hier{hier}/tile{tile}", ref, got)
+
+    # fused1 v2 (single-program closest-hit, TILE_BLOCK grid): in-kernel
+    # gated cull (cull_hier 0 = auto G=16; -1 = flat), entry-only scratch,
+    # dead-tile early-out — certify the Mosaic lowering on primary and
+    # b1-sorted teapot wavefronts at the production C=256 table.
+    import dataclasses
+
+    for name, st in (("teapot_primary", s0), ("teapot_b1_sorted", s1s)):
+        alive = jnp.any(st.transmitted != 0.0, axis=-1)
+        cl = jnp.where(alive, t0, -1.0)
+        ref = pi.closest_hit_packet(
+            scene, st.origin, st.direction, cl, i0, cap=cap, backend="xla"
+        )
+        for tile, hier in ((64, 0), (64, -1), (32, 0), (128, 0)):
+            sc = scene.replace(
+                config=dataclasses.replace(scene.config, cull_hier=hier)
+            )
+            got = pi.closest_hit_packet(
+                sc, st.origin, st.direction, cl, i0,
+                cap=cap, tile=tile, backend="fused1",
+            )
+            check(f"{name}/fused1_hier{hier}/tile{tile}", ref, got)
 
     report["ok"] = ok
     out_path = sys.argv[1] if len(sys.argv) > 1 else "TPU_PARITY.json"
