@@ -193,11 +193,36 @@ def make_sharded_train_step(
     rays_per_pixel: int,
     bounces: int,
     reparam: bool = False,
+    live_schedule="auto",
 ):
     """Jitted multi-chip inverse-rendering train step:
     ``step(params, opt_state, target, seed) -> (params, opt_state, loss)``.
     This is the framework's full training step — forward wavefront render,
-    backward through the bounce chain, gradient all-reduce over the mesh."""
+    backward through the bounce chain, gradient all-reduce over the mesh.
+
+    ``live_schedule``: as diff.make_train_step — "auto" calibrates a static
+    live-prefix schedule (certificate-audited single-device first; the
+    divisors are ray-count-relative, so they transfer to the per-shard
+    wavefronts unchanged), an explicit tuple pins one, None keeps the
+    dynamic switch."""
+    import dataclasses
+
+    from cuda_raytracer_tpu.render import diff as diff_mod
+
+    if live_schedule == "auto":
+        live_schedule = diff_mod.calibrate_live_schedule(
+            scene, rays_per_pixel=rays_per_pixel, bounces=bounces
+        )
+    if live_schedule:
+        audited = scene.replace(
+            config=dataclasses.replace(
+                scene.config, live_schedule=tuple(live_schedule)
+            )
+        )
+        if diff_mod.check_radiance_exact(
+            audited, rays_per_pixel=rays_per_pixel, bounces=bounces
+        ) == 0:
+            scene = audited
 
     @jax.jit
     def train_step(params, opt_state, target, seed):
