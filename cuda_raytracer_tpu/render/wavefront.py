@@ -572,10 +572,12 @@ def bounce_on_live_prefix(
 def resolved_intersector(scene: Scene) -> str:
     """The triangle intersector closest_hit will actually use.
 
-    auto → packet everywhere on TPU (the Pallas sweep kernel beats even the
-    brute (R, T) tile for small scenes — XLA materialises (R, T, 3)
-    intermediates per dot product, the kernel keeps them in registers);
-    brute for small scenes elsewhere (CPU oracle path)."""
+    auto → brute (component-form dense (R, T) sweep, no reorder) for small
+    scenes, packet (clustered cull + Pallas sweep) above 512 triangles.
+    The threshold is measured, not aesthetic: at cornell's 30 triangles the
+    packet machinery is per-tile-fixed-cost-bound and 7x SLOWER than the
+    brute sweep on v5e (0.50 vs 3.46 s at 1000²×10 spp, SCAN_r04), while
+    teapot-scale tables are unusable brute."""
     mode = scene.config.intersector
     if mode not in ("auto", "brute", "packet", "bvh"):
         # Fail fast like the CLI does for unknown flags — a typo'd (or
