@@ -140,6 +140,16 @@ class RenderConfig:
     # (SCAN_r04: teapot 10 spp 3.40 vs 2.77 s — round 3's global "count"
     # default was the full-res regression).
     sort_engine: str = dataclasses.field(metadata=dict(static=True), default="auto")
+    # Reorder key: "morton" = the reference's origin/direction Morton proxy
+    # (scene.cu:480-485); "cullhit" = first+second slab-hit cluster index
+    # (ops/morton.first2_cluster_keys) — attacks the packet intersector's
+    # tile-union cost directly (sim: 2.37x fewer swept MT tests/ray on the
+    # teapot b1 wavefront, matching the full-signature upper bound) at the
+    # price of one extra (R, K) slab pass per sorted bounce. Images are
+    # bit-identical under any key (the unsort restores ray order). "auto"
+    # resolves per intersector: cullhit when the packet path is active,
+    # morton otherwise (brute/bvh paths have no tile-union cost to attack).
+    sort_key: str = dataclasses.field(metadata=dict(static=True), default="morton")
     # Static per-bounce live-prefix divisors (dead-ray compaction without
     # the runtime lax.switch, whose branches copy the full wavefront state
     # in and out — XLA conditional semantics). Entry b is the divisor for

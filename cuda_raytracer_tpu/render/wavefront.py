@@ -656,9 +656,19 @@ def reorder_rays(
     (used by the live-prefix path, which must keep the same chunk
     boundaries as full-wavefront sorts)."""
     alive = jnp.any(state.transmitted != 0.0, axis=-1)
-    keys = morton.ray_sort_keys(
-        state.origin, state.direction, alive, scene.min_coord, scene.inv_extent
-    )
+    key_mode = scene.config.sort_key
+    if key_mode == "auto":
+        key_mode = "cullhit" if resolved_intersector(scene) == "packet" else "morton"
+    if key_mode == "cullhit" and resolved_intersector(scene) == "packet":
+        keys = morton.first2_cluster_keys(
+            state.origin, state.direction, alive,
+            scene.cluster_min, scene.cluster_max,
+            scene.num_clusters, scene.config.cull_split,
+        )
+    else:
+        keys = morton.ray_sort_keys(
+            state.origin, state.direction, alive, scene.min_coord, scene.inv_extent
+        )
     R = keys.shape[0]
     cs = chunk_size if chunk_size is not None else sort_chunk_size(R)
     packed = _pack_state(state)

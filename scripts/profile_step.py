@@ -44,6 +44,8 @@ def capture(tile=None, ct=None, steps=3, outdir="/tmp/profile_step",
                      rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES)
     if tile:
         overrides["packet_tile"] = tile
+    if os.environ.get("SORT_KEY"):
+        overrides["sort_key"] = os.environ["SORT_KEY"]
     scene = load_scene(
         "/root/reference/teapot.scene",
         config_overrides=overrides,

@@ -218,3 +218,25 @@ def test_unknown_intersector_fails_fast():
     )
     with pytest.raises(ValueError, match="unknown intersector"):
         wavefront.resolved_intersector(scene)
+
+
+def test_cullhit_sort_key_identical():
+    """sort_key="cullhit" (first2 cluster keys) only changes execution
+    order: per-ray radiance must be bit-identical to the Morton key — the
+    same invariance the sort/no-sort pair establishes, for the new key."""
+    import dataclasses
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        scene = load_scene(
+            f"{REF}/teapot.scene",
+            config_overrides=dict(width=12, height=12, packet_cap=1 << 14),
+        )
+    assert wavefront.resolved_intersector(scene) == "packet"
+    a = _collected(scene, rpp=2, bounces=5, sort_rays=True)
+    scene_ch = dataclasses.replace(
+        scene, config=dataclasses.replace(scene.config, sort_key="cullhit")
+    )
+    b = _collected(scene_ch, rpp=2, bounces=5, sort_rays=True)
+    np.testing.assert_array_equal(a, b)
