@@ -145,10 +145,14 @@ class RenderConfig:
     # (ops/morton.first2_cluster_keys) — attacks the packet intersector's
     # tile-union cost directly (sim: 2.37x fewer swept MT tests/ray on the
     # teapot b1 wavefront, matching the full-signature upper bound) at the
-    # price of one extra (R, K) slab pass per sorted bounce. Images are
-    # bit-identical under any key (the unsort restores ray order). "auto"
-    # resolves per intersector: cullhit when the packet path is active,
-    # morton otherwise (brute/bvh paths have no tile-union cost to attack).
+    # price of one extra (R, K) slab pass per sorted bounce. MEASURED NET
+    # LOSS on v5e (scan_sortkey --schedule: 49.5 ms morton vs 56.6 cullhit
+    # on the bench grad shape): the XLA-side key pass costs more than the
+    # tighter tiles save once live prefixes shrink bounces 2+, so the
+    # default stays "morton". Images are bit-identical under any key (the
+    # unsort restores ray order). "auto" resolves per intersector: cullhit
+    # when the packet path is active, morton otherwise (brute/bvh paths
+    # have no tile-union cost to attack).
     sort_key: str = dataclasses.field(metadata=dict(static=True), default="morton")
     # Static per-bounce live-prefix divisors (dead-ray compaction without
     # the runtime lax.switch, whose branches copy the full wavefront state

@@ -36,6 +36,25 @@ BOUNCES = 10
 REPEATS = 10
 
 
+def with_schedule(scene):
+    """Apply the calibrated static live-prefix schedule (the bench.py /
+    make_train_step configuration) so the scan prices the key in the
+    shipped training regime, not the dynamic-switch one."""
+    import dataclasses
+
+    sched = diff.calibrate_live_schedule(
+        scene, rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES
+    )
+    audited = scene.replace(
+        config=dataclasses.replace(scene.config, live_schedule=sched)
+    )
+    if diff.check_radiance_exact(
+        audited, rays_per_pixel=RAYS_PER_PIXEL, bounces=BOUNCES
+    ) == 0:
+        return audited
+    return scene
+
+
 def time_grad_step(scene, params, target):
     grad_fn = jax.jit(
         jax.value_and_grad(
@@ -52,7 +71,7 @@ def time_grad_step(scene, params, target):
     return (time.perf_counter() - start) / REPEATS
 
 
-def scan_bench(keys):
+def scan_bench(keys, schedule=False):
     results = []
     for key in keys:
         scene = load_scene(
@@ -63,10 +82,13 @@ def scan_bench(keys):
                 sort_key=key,
             ),
         )
+        if schedule:
+            scene = with_schedule(scene)
         params, _ = diff.split_params(scene)
         target = jnp.zeros((scene.num_pixels, 3), jnp.float32)
         t = time_grad_step(scene, params, target)
         row = {"scan": "sort_key_bench", "sort_key": key,
+               "scheduled": bool(schedule),
                "ms_per_step": round(t * 1e3, 2)}
         print(json.dumps(row), flush=True)
         results.append(row)
@@ -96,11 +118,15 @@ def main() -> int:
     parser.add_argument("--fullres", action="store_true")
     parser.add_argument("--scenes", default="teapot")
     parser.add_argument("--no-bench", action="store_true")
+    parser.add_argument("--schedule", action="store_true",
+                        help="measure the calibrated static live-prefix "
+                             "schedule configuration (the shipped bench.py "
+                             "regime) instead of the dynamic switch")
     args = parser.parse_args()
     enable_persistent_cache()
     keys = tuple(args.keys.split(","))
     if not args.no_bench:
-        scan_bench(keys)
+        scan_bench(keys, schedule=args.schedule)
     if args.fullres:
         scan_fullres(keys, args.scenes.split(","))
     print(json.dumps({"backend": jax.default_backend()}))
