@@ -158,9 +158,14 @@ def calibrate_live_schedule(
     divisors = []
     for b in range(bounces):
         need = min(R, int(np.ceil(margin * float(bounds[b]))))
-        d = 1
-        while d < 1024 and wavefront.prefix_for_divisor(scene, R, 2 * d) >= need:
-            d *= 2
+        # Finest valid prefix: prefix_for_divisor rounds ceil(R/d) up to the
+        # prefix quantum (one intersection tile under a global sort), so the
+        # exact fractional divisor R/need lands the prefix on the calibrated
+        # bound instead of the next power of two — bounce 1 on the teapot
+        # bench shape (live ~80%) would otherwise pin to the full wavefront.
+        d = R / max(1, need)
+        if wavefront.prefix_for_divisor(scene, R, d) >= R:
+            d = 1  # full prefix: keep the canonical integer form
         divisors.append(d)
     return tuple(divisors)
 

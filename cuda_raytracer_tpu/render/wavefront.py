@@ -471,10 +471,12 @@ def prefix_quantum(scene: Scene, rays: int) -> int:
     return scene.config.packet_tile if cs == rays else cs
 
 
-def prefix_for_divisor(scene: Scene, rays: int, divisor: int) -> int:
-    """ceil(rays / divisor) rounded up to the prefix quantum."""
+def prefix_for_divisor(scene: Scene, rays: int, divisor) -> int:
+    """ceil(rays / divisor) rounded up to the prefix quantum. ``divisor``
+    may be fractional (calibrate_live_schedule emits R/need so the prefix
+    lands on the calibrated live bound instead of the next power of two)."""
     quantum = prefix_quantum(scene, rays)
-    n = -(-rays // max(1, divisor))
+    n = int(-(-rays // max(1, divisor)))
     return min(rays, -(-n // quantum) * quantum)
 
 
@@ -769,9 +771,10 @@ def trace_wavefront(
                 new_state = reorder_rays(scene, new_state)
             return new_state, live_bound, suspect
         sched = scene.config.live_schedule
-        static_divisor = (
-            int(sched[min(bounce, len(sched) - 1)]) if sched else None
-        )
+        # Divisors may be fractional (calibrate_live_schedule emits R/need
+        # so the prefix lands on the calibrated bound, not a power of two);
+        # prefix_for_divisor handles either form exactly.
+        static_divisor = sched[min(bounce, len(sched) - 1)] if sched else None
         return bounce_on_live_prefix(
             scene, state, pass_seed, bounce, live_bound, do_sort,
             reparam=reparam, static_divisor=static_divisor,
