@@ -11,8 +11,12 @@ Gradient estimator design (SURVEY §7.5):
     sky terms — differentiable in all colour parameters exactly.
   * Sampling *decisions* (specular-vs-diffuse coin, reflect-vs-refract
     roulette, all RNG draws) are detached: they define the estimator, not the
-    integrand. Branch probabilities (metallicity) therefore get zero pathwise
-    gradient (a score-function term could be added later).
+    integrand. The opaque metallicity coin additionally carries a
+    score-function (REINFORCE) term — wavefront.process_rays scales the
+    continuing throughput by P(branch)/stop_grad(P(branch)), identically 1.0
+    in value — so the discrete specular/diffuse choice contributes its
+    distributional gradient (FD-validated in
+    tests/test_diff.py::test_grad_metallicity).
   * ``reparam=True`` keeps geometry differentiable: scatter directions depend
     smoothly on roughness/ior for fixed random draws, giving reparameterised
     gradients through multi-bounce transport. Costs more memory; each bounce

@@ -120,6 +120,35 @@ def intersect_triangle(origin, direction, p1, e1, e2):
     return t
 
 
+def _closest_triangle_vec(scene_np, origin, direction):
+    """Möller–Trumbore over the WHOLE triangle array at once — the oracle's
+    only vectorised piece, required to make mesh-scene parity feasible
+    (126k–620k triangles per ray; the scalar loop is ~1000x too slow).
+
+    Same formulas, same dtype, same elementwise IEEE ops as
+    intersect_triangle; every reference `if` becomes a mask. Tie-breaking is
+    preserved: the scalar loop keeps the FIRST strictly-smaller t, and
+    np.argmin returns the first index of the minimum. Returns (t, index)
+    with t == MISS / index == -1 when nothing hits."""
+    T = scene_np["triangle_count"]
+    p1 = scene_np["tri_p1"][:T]
+    e1 = scene_np["tri_e1"][:T]
+    e2 = scene_np["tri_e2"][:T]
+    h = np.cross(direction[None, :], e2)
+    det = (h * e1).sum(axis=1)
+    safe_det = np.where(det == 0, 1, det)
+    inv_det = 1.0 / safe_det
+    offset = origin[None, :] - p1
+    u = (offset * h).sum(axis=1) * inv_det
+    q = np.cross(offset, e1)
+    v = (direction[None, :] * q).sum(axis=1) * inv_det
+    t = (e2 * q).sum(axis=1) * inv_det
+    miss = (det == 0) | (u < 0) | (u > 1) | (v < 0) | (u + v > 1) | (t < HIT_EPS)
+    t = np.where(miss, scene_np["dtype"](MISS), t)
+    i = int(np.argmin(t))
+    return float(t[i]), i
+
+
 def closest_hit(scene_np, origin, direction):
     closest = MISS
     index = -1
@@ -130,7 +159,16 @@ def closest_hit(scene_np, origin, direction):
         if t < closest:
             closest = t
             index = i
-    for i in range(scene_np["triangle_count"]):
+    tri_count = scene_np["triangle_count"]
+    if tri_count and scene_np.get("vectorized", tri_count > 512):
+        # Mesh scenes: dense vectorised MT (identical elementwise math; the
+        # per-triangle Python loop is infeasible at 126k+ triangles).
+        t, i = _closest_triangle_vec(scene_np, origin, direction)
+        if t < closest:
+            closest = t
+            index = scene_np["sphere_count"] + i
+        return closest, index
+    for i in range(tri_count):
         t = intersect_triangle(
             origin,
             direction,
