@@ -30,6 +30,15 @@ REPEATS = 10
 
 REFERENCE_FORWARD_PATHS_PER_S = 7.1e7  # teapot, GTX 1080, BASELINE.md
 
+# Forward-only metric shape (VERDICT r4 #4: track the parity gap vs the
+# reference's own forward-only anchor as one number per round). 512^2 x 20spp
+# traces in the exact production regime — 20-rays/pixel passes split into
+# 262140-ray blocks, the same _render_block executable full-res renders use —
+# so paths/s here is representative of the 1000^2 x 100spp anchor's regime
+# without full-res compile/load cost in the driver loop.
+FWD_SIZE = 512
+FWD_SPP = 20
+
 
 def main() -> int:
     import jax
@@ -93,6 +102,37 @@ def main() -> int:
 
     paths = WIDTH * HEIGHT * RAYS_PER_PIXEL
     value = paths / elapsed
+
+    # Forward-only throughput at the production block regime (render_timed
+    # scope: trace phase only, like the reference's raytracing.cu:172).
+    fwd = None
+    try:
+        from cuda_raytracer_tpu.render.pipeline import render_timed
+
+        fwd_scene = load_scene(
+            "/root/reference/teapot.scene",
+            config_overrides=dict(
+                width=FWD_SIZE, height=FWD_SIZE,
+                rays_per_pixel=FWD_SPP, bounces=BOUNCES,
+            ),
+        )
+        render_timed(fwd_scene)  # compile + executable load
+        _, fwd_s = render_timed(fwd_scene)  # warm
+        fwd_paths = FWD_SIZE * FWD_SIZE * FWD_SPP
+        fwd = {
+            "metric": "teapot_forward_paths_per_s_per_chip",
+            "value": fwd_paths / fwd_s,
+            "unit": "paths/s",
+            "vs_forward_baseline": (
+                fwd_paths / fwd_s / REFERENCE_FORWARD_PATHS_PER_S
+            ),
+            "width": FWD_SIZE,
+            "height": FWD_SIZE,
+            "rays_per_pixel": FWD_SPP,
+            "seconds": fwd_s,
+        }
+    except Exception as exc:  # never let the forward probe sink the bench
+        print(f"# forward metric skipped: {exc}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -111,6 +151,7 @@ def main() -> int:
                         "baseline is the reference's forward-only teapot "
                         "throughput on GTX 1080; this metric includes backward"
                     ),
+                    "forward": fwd,
                 },
             }
         )

@@ -150,6 +150,62 @@ def pack_cluster_blocks(
     return blocks, slot_to_tri
 
 
+def pad_clusters(clusters: ClusterArrays, multiple: int) -> ClusterArrays:
+    """Pad the cluster list to a count multiple with EMPTY clusters (count 0,
+    far-away point AABBs — under the windowed slab test a point box can only
+    hit on an exact three-axis tie, and its block slots are degenerate
+    triangles that always miss)."""
+    K = clusters.num_clusters
+    pad = (-K) % multiple
+    if not pad:
+        return clusters
+    return ClusterArrays(
+        start=np.concatenate([clusters.start, np.zeros(pad, np.int32)]),
+        count=np.concatenate([clusters.count, np.zeros(pad, np.int32)]),
+        aabb_min=np.concatenate(
+            [clusters.aabb_min, np.full((pad, 3), 1e17, np.float32)]
+        ),
+        aabb_max=np.concatenate(
+            [clusters.aabb_max, np.full((pad, 3), 1e17, np.float32)]
+        ),
+        max_tris=clusters.max_tris,
+    )
+
+
+def pack_paired_blocks(
+    clusters: ClusterArrays,
+    tri_p1: np.ndarray,
+    tri_e1: np.ndarray,
+    tri_e2: np.ndarray,
+    pack: int,
+    pad_coord: float = 1e17,
+):
+    """Block storage for ``cluster_pack > 1`` (PERF_NOTES roadmap item 0):
+    ``pack`` consecutive sub-clusters of ``C_sub = clusters.max_tris``
+    triangles share one (16, pack * C_sub) lane-aligned block — block b's
+    lanes [h*C_sub, (h+1)*C_sub) hold sub-cluster pack*b + h. The cull stays
+    at sub-cluster granularity (tighter boxes ⇒ fewer swept triangles), the
+    sweep at full 128-lane blocks with unhit halves lane-masked to MISS, so
+    the effective pair set equals an exact C_sub cull.
+
+    ``clusters`` must be pre-padded to a ``pack`` multiple (pad_clusters).
+    Returns (blocks (K/pack, 16, pack*C_sub), slot_to_tri (K*C_sub,) in
+    block-major lane order)."""
+    K = clusters.num_clusters
+    if K % pack:
+        raise ValueError(f"cluster count {K} not a multiple of pack {pack}")
+    blocks, slot_to_tri = pack_cluster_blocks(
+        clusters, tri_p1, tri_e1, tri_e2, pad_coord
+    )
+    C_sub = clusters.max_tris
+    blocks = (
+        blocks.reshape(K // pack, pack, 16, C_sub)
+        .transpose(0, 2, 1, 3)
+        .reshape(K // pack, 16, pack * C_sub)
+    )
+    return blocks, slot_to_tri
+
+
 def split_aabbs(
     clusters: ClusterArrays,
     tri_p1: np.ndarray,

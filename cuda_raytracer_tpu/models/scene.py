@@ -131,6 +131,16 @@ class RenderConfig:
     # such wide-cull config loses to the shipped tile=64/C=256 anyway
     # (79.1 ms), where the flat cull is too cheap to gate (SCAN_r03.json).
     cull_hier: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # Sub-clusters per block (PERF_NOTES roadmap item 0 / VERDICT r4 #1):
+    # 1 = one cull box per (16, cluster_tris) block (round-4 behaviour).
+    # 2 = the paired-small-cluster design: the BVH is cut at
+    # cluster_tris/2-triangle sub-clusters, two consecutive sub-clusters
+    # share each 128-lane block, and the cull runs at sub-cluster
+    # granularity — tighter boxes, ~1.5-2x fewer effective triangle tests
+    # (skip_sim C-scan) — while the MT sweep keeps full-width lane-aligned
+    # blocks with unhit halves masked to MISS. Only the fused1 backend
+    # understands packed tables; requires cull_split == 1.
+    cluster_pack: int = dataclasses.field(metadata=dict(static=True), default=1)
     # Morton reorder engine: "argsort" = XLA bitonic argsort (total order);
     # "count" = stable matmul counting sort on the key's high origin bits
     # (ops/sort.py) — bit-identical images either way (any permutation is;

@@ -350,16 +350,43 @@ def assemble_scene(
     node_pad = round_up(node_count, 8)
 
     # Cluster cut for the dense TPU intersector (models/cluster.py).
-    clusters = cluster_mod.build_clusters(built, tri_count, max_tris=cluster_tris)
-    cluster_blocks, slot_tri = cluster_mod.pack_cluster_blocks(
-        clusters, p1.astype(np.float32), e1.astype(np.float32), e2.astype(np.float32)
-    )
-    # Two-level cull tables: (K * cull_split, 3) sub-boxes, row-major by
-    # cluster (models/cluster.split_aabbs; identity at cull_split=1).
-    cull_min, cull_max = cluster_mod.split_aabbs(
-        clusters, p1.astype(np.float32), e1.astype(np.float32),
-        e2.astype(np.float32), render_config.cull_split,
-    )
+    pack = render_config.cluster_pack
+    if pack > 1:
+        # Paired-sub-cluster tables (cluster_pack doc in models/scene.py):
+        # the BVH is cut at cluster_tris/pack triangles, boxes stay at
+        # sub-cluster granularity, blocks pack `pack` consecutive
+        # sub-clusters into one lane-aligned (16, cluster_tris) block.
+        if render_config.cull_split != 1:
+            raise ValueError("cluster_pack > 1 requires cull_split == 1")
+        if cluster_tris % pack:
+            raise ValueError(
+                f"cluster_pack {pack} must divide cluster_tris {cluster_tris}"
+            )
+        clusters = cluster_mod.pad_clusters(
+            cluster_mod.build_clusters(
+                built, tri_count, max_tris=cluster_tris // pack
+            ),
+            pack,
+        )
+        cluster_blocks, slot_tri = cluster_mod.pack_paired_blocks(
+            clusters, p1.astype(np.float32), e1.astype(np.float32),
+            e2.astype(np.float32), pack,
+        )
+        cull_min, cull_max = clusters.aabb_min, clusters.aabb_max
+    else:
+        clusters = cluster_mod.build_clusters(
+            built, tri_count, max_tris=cluster_tris
+        )
+        cluster_blocks, slot_tri = cluster_mod.pack_cluster_blocks(
+            clusters, p1.astype(np.float32), e1.astype(np.float32),
+            e2.astype(np.float32),
+        )
+        # Two-level cull tables: (K * cull_split, 3) sub-boxes, row-major by
+        # cluster (models/cluster.split_aabbs; identity at cull_split=1).
+        cull_min, cull_max = cluster_mod.split_aabbs(
+            clusters, p1.astype(np.float32), e1.astype(np.float32),
+            e2.astype(np.float32), render_config.cull_split,
+        )
     # Append one degenerate dummy cluster (row K): the fused closest-hit
     # kernel targets it with sentinel pairs (zero edges → MT det 0 → miss).
     dummy = np.zeros((1,) + cluster_blocks.shape[1:], np.float32)
@@ -404,7 +431,10 @@ def assemble_scene(
         bvh_node_count=node_count,
         max_leaf_size=built.max_leaf_size,
         num_clusters=clusters.num_clusters,
-        cluster_tris=clusters.max_tris,
+        # Block WIDTH (lane count), not sub-cluster size: with
+        # cluster_pack > 1 each block carries `pack` sub-clusters of
+        # cluster_tris/pack triangles (num_clusters counts sub-clusters).
+        cluster_tris=clusters.max_tris * pack,
     )
 
 

@@ -173,6 +173,14 @@ def closest_hit_packet(
     R = origin.shape[0]
     K = scene.num_clusters
     C = scene.cluster_tris
+    if getattr(scene.config, "cluster_pack", 1) > 1 and backend not in (
+        "fused1", "fused1_interpret"
+    ):
+        # Packed tables break the box↔block 1:1 map every other engine
+        # indexes by — fail fast instead of sweeping the wrong triangles.
+        raise ValueError(
+            f"cluster_pack > 1 requires the fused1 backend, got {backend!r}"
+        )
     # Two-level cull (models/cluster.split_aabbs): the box tables hold S
     # tight chunk boxes per cluster; masks/entries reduce to block
     # granularity (OR / min) right after each cull.
@@ -198,6 +206,7 @@ def closest_hit_packet(
 
         if S != 1:
             raise ValueError("fused1 backend requires cull_split == 1")
+        pack = getattr(scene.config, "cluster_pack", 1)
         interpret = backend == "fused1_interpret"
         comps = [
             origin[:, 0], origin[:, 1], origin[:, 2],
@@ -213,7 +222,12 @@ def closest_hit_packet(
         # Shard count accounts for fused1's own VMEM residents (per-ray
         # entry scratch, box table, packing weights) on top of the block
         # table — fused.resident_budget alone under-counts them.
-        n_shards = pallas_fused1.plan_shards(T, tile, C, K)
+        # Cap at the BLOCK count: shard bounds are block-aligned, so more
+        # shards than blocks would produce empty (zero-K) kernel calls.
+        n_shards = min(
+            pallas_fused1.plan_shards(T, tile, C, K, pack=pack),
+            max(1, K // pack),
+        )
 
         # In-kernel chunk-gated cull (config.cull_hier = G clusters per
         # tight super box, BVH-cut DFS order so siblings group): the shard's
@@ -255,12 +269,20 @@ def closest_hit_packet(
 
         out = None
         for s in range(n_shards):
-            lo, hi = K * s // n_shards, K * (s + 1) // n_shards
+            # Shard bounds in whole BLOCKS (pack boxes each), so paired
+            # halves never split across shards.
+            Kb = K // pack
+            lo = (Kb * s // n_shards) * pack
+            hi = (Kb * (s + 1) // n_shards) * pack
+            if hi <= lo:
+                continue
             gate = G if (G and hi - lo > pallas_fused1.CHUNK) else 0
             t_s, tri_s = pallas_fused1.fused1_closest_hit(
-                od8, aabb8[:, lo:hi], scene.cluster_blocks[lo:hi],
+                od8, aabb8[:, lo:hi],
+                scene.cluster_blocks[lo // pack:hi // pack],
                 tile=tile, interpret=interpret, gate_g=gate,
                 sup_aabb=shard_supers(lo, hi) if gate else None,
+                pack=pack,
             )
             if out is None:
                 out = (t_s, tri_s)

@@ -457,11 +457,14 @@ def _mt_batch_for(tile: int, C: int) -> int:
     return b
 
 
-def _mt_batch(raysT: jnp.ndarray, blks, tile: int, C: int):
+def _mt_batch(raysT: jnp.ndarray, blks, tile: int, C: int, lane_valid=None):
     """Möller–Trumbore of one ray tile against B cluster blocks at once.
 
     raysT: (tile, 8) — ray-major [o xyz, d xyz, tmax, pad]
     blks:  (B, 16, C) — B cluster blocks
+    lane_valid: optional (B, 1, C) bool — lanes masked False report MISS
+    (the cluster_pack sweep masks the unhit half of a paired block so the
+    effective pair set stays at sub-cluster granularity).
     Returns (best_t (1, tile), best_tri (1, tile) f32) folded over B and C
     with the shared tie rule (smaller t wins; larger tri id on equal t).
     Bit-identical to sweep._mt_pair_t by construction: both call the one
@@ -495,6 +498,8 @@ def _mt_batch(raysT: jnp.ndarray, blks, tile: int, C: int):
         (ox, oy, oz), (dx, dy, dz),
         (p1x, p1y, p1z, e1x, e1y, e1z, e2x, e2y, e2z),
     )  # (B, tile, C)
+    if lane_valid is not None:
+        t = jnp.where(lane_valid, t, MISS)
     m = jnp.min(t, axis=2)  # (B, tile)
     eq = t == m[:, :, None]
     trb = jnp.broadcast_to(trif, t.shape)

@@ -78,17 +78,19 @@ CHUNK = 128
 TILE_BLOCK = 8
 
 
-def _shard_overhead_bytes(tile: int, K: int, tb: int = TILE_BLOCK) -> int:
-    """fused1-only fixed VMEM footprint for a K-cluster shard, on top of the
-    block table itself: the (TB, Kp, lanes) entry scratch (lane-padded to 128
-    by Mosaic's (8, 128) tiling), the (Kp, 8) box table, the shared packing
-    weights and the packed-word staging panel. fused.resident_budget only
-    accounts for the shapes the 3-stage fused kernel carries, so sizing
+def _shard_overhead_bytes(
+    tile: int, K: int, tb: int = TILE_BLOCK, pack: int = 1
+) -> int:
+    """fused1-only fixed VMEM footprint for a K-box shard, on top of the
+    block table itself: the (TB, Kp/pack, lanes) entry scratch (lane-padded
+    to 128 by Mosaic's (8, 128) tiling), the (Kp, 8) box table, the shared
+    packing weights and the packed-word staging panel. fused.resident_budget
+    only accounts for the shapes the 3-stage fused kernel carries, so sizing
     fused1 shards against it alone can bust the 15 MiB scoped-VMEM cap on
     exactly the large scenes (e.g. lamp) that sharding is meant to handle."""
     Kp = -(-K // CHUNK) * CHUNK
     lanes = max(tile, 128)
-    scratch = tb * Kp * lanes * 4  # ent_vmem
+    scratch = tb * (Kp // pack) * lanes * 4  # ent_vmem (block granularity)
     aabb = Kp * 8 * 4
     weights = 16 * 128 * 4
     words = 2 * (Kp // 16) * 128 * 4  # (Kw, TB) staging, lane-padded
@@ -96,15 +98,18 @@ def _shard_overhead_bytes(tile: int, K: int, tb: int = TILE_BLOCK) -> int:
     return scratch + aabb + weights + words + acols
 
 
-def plan_shards(T: int, tile: int, C: int, K: int) -> int:
+def plan_shards(T: int, tile: int, C: int, K: int, pack: int = 1) -> int:
     """Number of table shards so each fused1 call fits the scoped-VMEM
     budget: per-shard block bytes PLUS the fused1 fixed footprint (which
-    itself shrinks with the shard's K) must clear fused.resident_budget."""
+    itself shrinks with the shard's K) must clear fused.resident_budget.
+    ``K`` counts cull boxes; with ``pack`` > 1 each block carries ``pack``
+    boxes' triangles (C lanes total), so block bytes scale with K/pack."""
     budget = resident_budget(T, tile, C)
     n = max(1, -(-K // MAX_K))
     while n < K:
         k_shard = -(-K // n)
-        need = k_shard * 16 * C * 4 + _shard_overhead_bytes(tile, k_shard)
+        blk_bytes = (-(-k_shard // pack)) * 16 * C * 4
+        need = blk_bytes + _shard_overhead_bytes(tile, k_shard, pack=pack)
         if k_shard <= MAX_K and need <= budget:
             break
         n += 1
@@ -145,6 +150,7 @@ def _fused1_kernel(
     aabbT_ref,  # (Kp, 8) f32 VMEM — box columns [min xyz, max xyz, 0, 0]
     supT_ref,  # (Ksp, 8) f32 VMEM — super boxes (8-row dummy when ungated)
     w16_ref,  # (16, 128) f32 VMEM — shared byte-split packing weights
+    vmask_ref,  # (Kp, 1) f32 VMEM — 1.0 for real boxes (pack > 1; else (8,1))
     blocks_ref,  # (>= K, 16, C) f32 VMEM — resident cluster blocks
     t_out_ref,  # (T1p, tile) f32 VMEM
     tri_out_ref,  # (T1p, tile) f32 VMEM
@@ -153,7 +159,7 @@ def _fused1_kernel(
     gw_vmem,  # VMEM (8, 1) int32 — packed chunk-gate words staging
     gw_smem,  # SMEM (8, 1) int32
     pk_smem,  # SMEM (MAX_K,) int32 — per-tile pair ring (reused across tiles)
-    ent_vmem,  # VMEM (TB, Kp, tile) f32 — per-ray slab entries (+inf unhit)
+    ent_vmem,  # VMEM (TB, Kp/pack, tile) f32 — per-ray slab entries (+inf unhit)
     acols_vmem,  # VMEM (CHUNK, TB) f32 — any-hit columns staging per chunk
     blkB_buf,  # VMEM (B, 16, C) f32 — MT batch staging
     acc_best,  # VMEM (1, tile) f32
@@ -164,12 +170,14 @@ def _fused1_kernel(
     tile: int,
     K: int,
     gate_g: int,
+    pack: int,
 ):
     blk = pl.program_id(0)
     TB = od8_ref.shape[0]
     Kp = aabbT_ref.shape[0]
     nch = Kp // CHUNK
     Kw = Kp // 16
+    BPC = CHUNK // pack  # blocks per chunk (pack > 1: split-plane layout)
     B = blkB_buf.shape[0]
     gated = gate_g > 0
     inf = jnp.float32("inf")
@@ -240,21 +248,36 @@ def _fused1_kernel(
                                          jnp.float32)
             for j in range(TB):
                 @pl.when(live[j])
-                def _(j=j, lo=lo, boxT=boxT):
+                def _(j=j, lo=lo, boxT=boxT, c=c):
                     hit, tmin_run = _slab_rows(
                         o_rows[j], d_rows[j], boxT, wins[j]
                     )
-                    ent_vmem[j, lo:lo + CHUNK, :] = jnp.where(
-                        hit, tmin_run, inf
-                    )
+                    ent = jnp.where(hit, tmin_run, inf)
+                    if pack == 1:
+                        ent_vmem[j, lo:lo + CHUNK, :] = ent
+                    else:
+                        # Split-plane chunk layout: rows [0, BPC) are the
+                        # chunk's blocks' half-0 boxes, [BPC, 2*BPC) half-1,
+                        # so the per-BLOCK entry (min over hit halves — the
+                        # skip test's conservative per-ray bound) folds with
+                        # contiguous sublane slices.
+                        eb = ent[0:BPC, :]
+                        for h in range(1, pack):
+                            eb = jnp.minimum(eb, ent[h * BPC:(h + 1) * BPC, :])
+                        ent_vmem[j, c * BPC:(c + 1) * BPC, :] = eb
                     any_col = jnp.max(
                         hit.astype(jnp.float32), axis=1, keepdims=True
                     )  # (128, 1)
-                    if (c + 1) * CHUNK > K:
-                        # Padding boxes are far points that only degenerate
-                        # (axis-parallel, exact-tie) rays can slab-hit; their
-                        # block rows don't exist — mask them out of the pair
-                        # stream.
+                    if pack > 1:
+                        # Padding boxes (rows past K) are far points that
+                        # only degenerate exact-tie rays can slab-hit; their
+                        # block halves don't exist. The split-plane row
+                        # permutation makes the natural-index compare
+                        # awkward in-kernel, so the mask rides in as a
+                        # permuted 0/1 column.
+                        any_col = any_col * vmask_ref[lo:lo + CHUNK, :]
+                    elif (c + 1) * CHUNK > K:
+                        # Same mask, natural order: one iota compare.
                         kcol = jax.lax.broadcasted_iota(
                             jnp.int32, (CHUNK, 1), 0
                         ) + lo
@@ -291,22 +314,59 @@ def _fused1_kernel(
         for j in range(TB):
             @pl.when(live[j])
             def _(j=j):
-                def word_body(w, rc):
-                    def bit_cond(cy):
-                        word, _ = cy
-                        return word != 0
+                if pack == 1:
+                    def word_body(w, rc):
+                        def bit_cond(cy):
+                            word, _ = cy
+                            return word != 0
 
-                    def bit_body(cy):
-                        word, rc = cy
-                        tz = _ctz16(word)
-                        pk_smem[rc] = w * 16 + tz
-                        return word & (word - 1), rc + 1
+                        def bit_body(cy):
+                            word, rc = cy
+                            tz = _ctz16(word)
+                            pk_smem[rc] = w * 16 + tz
+                            return word & (word - 1), rc + 1
 
-                    word0 = words_smem[w, j]
-                    _, rc = jax.lax.while_loop(bit_cond, bit_body, (word0, rc))
-                    return rc
+                        word0 = words_smem[w, j]
+                        _, rc = jax.lax.while_loop(
+                            bit_cond, bit_body, (word0, rc)
+                        )
+                        return rc
 
-                rc = jax.lax.fori_loop(0, Kw, word_body, jnp.int32(0))
+                    rc = jax.lax.fori_loop(0, Kw, word_body, jnp.int32(0))
+                else:
+                    # pack == 2: one ring entry per BLOCK with a 2-bit
+                    # half-mask. The split-plane word panel puts a chunk's
+                    # half-0 bits in word rows [8c, 8c+4) and half-1 bits in
+                    # [8c+4, 8c+8), so block-word g pairs rows (c*8 + s,
+                    # c*8 + 4 + s) with c = g // 4, s = g % 4.
+                    wpc = CHUNK // 16 // pack  # block words per chunk (4)
+
+                    def word_body(g, rc):
+                        s = g & (wpc - 1)  # wpc is a power of two
+                        c8 = (g - s) * pack  # g // wpc * (CHUNK // 16)
+                        w0 = words_smem[c8 + s, j]
+                        w1 = words_smem[c8 + wpc + s, j]
+
+                        def bit_cond(cy):
+                            word, _ = cy
+                            return word != 0
+
+                        def bit_body(cy):
+                            word, rc = cy
+                            tz = _ctz16(word)
+                            h0 = jax.lax.shift_right_logical(w0, tz) & 1
+                            h1 = jax.lax.shift_right_logical(w1, tz) & 1
+                            pk_smem[rc] = (g * 16 + tz) * 4 + h0 + h1 * 2
+                            return word & (word - 1), rc + 1
+
+                        _, rc = jax.lax.while_loop(
+                            bit_cond, bit_body, (w0 | w1, rc)
+                        )
+                        return rc
+
+                    rc = jax.lax.fori_loop(
+                        0, Kw // pack, word_body, jnp.int32(0)
+                    )
 
                 @pl.when(rc > 0)
                 def _():
@@ -317,6 +377,8 @@ def _fused1_kernel(
                     acc_tri[:, :] = tri_out_ref[row, :]
                     n_groups = pl.cdiv(rc, B)
 
+                    C_blk = blocks_ref.shape[2]
+
                     def group_body(g, _):
                         base = g * B
                         bound = jnp.minimum(acc_best[:, :], win)
@@ -324,8 +386,11 @@ def _fused1_kernel(
                         for b in range(B):
                             p = jnp.minimum(base + b, rc - 1)
                             k = pk_smem[p]
+                            if pack > 1:
+                                k = jax.lax.shift_right_logical(k, 2)
                             # +inf where the ray misses the box ⇒ never
-                            # demands a sweep.
+                            # demands a sweep. (pack > 1: entry is the min
+                            # over the block's HIT halves — conservative.)
                             ent_k = ent_vmem[j, pl.ds(k, 1), :]  # (1, tile)
                             needv = needv | (
                                 bound >= ent_k * jnp.float32(SKIP_SLACK)
@@ -334,14 +399,38 @@ def _fused1_kernel(
 
                         @pl.when(need)
                         def _():
+                            masks = []
                             for b in range(B):
                                 p = jnp.minimum(base + b, rc - 1)
+                                e = pk_smem[p]
+                                if pack > 1:
+                                    kb = jax.lax.shift_right_logical(e, 2)
+                                    # Lane window of the HIT halves: unhit
+                                    # halves mask to MISS so the effective
+                                    # pair set stays at sub-cluster
+                                    # granularity (bit-equal to a C_sub
+                                    # table on any backend).
+                                    half = C_blk // pack
+                                    lo_b = jnp.where((e & 1) != 0, 0, half)
+                                    hi_b = jnp.where((e & 2) != 0, C_blk, half)
+                                    lane = jax.lax.broadcasted_iota(
+                                        jnp.int32, (1, 1, C_blk), 2
+                                    )
+                                    masks.append(
+                                        (lane >= lo_b) & (lane < hi_b)
+                                    )
+                                else:
+                                    kb = e
                                 blkB_buf[pl.ds(b, 1)] = blocks_ref[
-                                    pl.ds(pk_smem[p], 1)
+                                    pl.ds(kb, 1)
                                 ]
+                            lane_valid = (
+                                jnp.concatenate(masks, axis=0)
+                                if pack > 1 else None
+                            )
                             b_g, tr_g = _mt_batch(
-                                raysT, blkB_buf[:, :, :], tile,
-                                blocks_ref.shape[2],
+                                raysT, blkB_buf[:, :, :], tile, C_blk,
+                                lane_valid,
                             )
                             best = acc_best[:, :]
                             tri = acc_tri[:, :]
@@ -371,23 +460,30 @@ def _pack_weights16() -> jnp.ndarray:
     return jnp.asarray(np.concatenate([lo, hi], axis=0), jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "gate_g", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tile", "gate_g", "interpret", "pack")
+)
 def fused1_closest_hit(
     od8: jnp.ndarray,  # (T + 1, 8, L) f32 component-row tiles — dummy row T
     aabb: jnp.ndarray,  # (8, K) f32 — rows [min xyz, max xyz, 0, 0]
-    blocks: jnp.ndarray,  # (>= K, 16, C) f32 — rows past K are never read
+    blocks: jnp.ndarray,  # (>= K/pack, 16, C) f32 — rows past K/pack unread
     tile: int,
     sup_aabb: jnp.ndarray = None,  # (8, Ks) super boxes — enables gating
-    gate_g: int = 0,  # clusters per super (static; 0 = flat cull)
+    gate_g: int = 0,  # boxes per super (static; 0 = flat cull)
     interpret: bool = False,
+    pack: int = 1,  # cull boxes per block (cluster_pack; 1 or 2)
 ):
     """→ (t_tile (T+1, tile) f32, tri_tile (T+1, tile) int32): exact closest
-    hits over every (tile, cluster) pair whose AABB some ray slab-hits,
-    computed in one kernel launch. The per-ray slab-entry early-out is
-    always on (it costs nothing extra here — per-ray entries are already in
-    VMEM). ``sup_aabb``/``gate_g`` enable the chunk-gated cull (conservative,
-    bit-equal results). The caller shards tables above the VMEM budget and
-    merges (packet_intersect), exactly like the fused backend."""
+    hits over every (tile, box) pair whose AABB some ray slab-hits, computed
+    in one kernel launch. The per-ray slab-entry early-out is always on (it
+    costs nothing extra here — per-ray entries are already in VMEM).
+    ``sup_aabb``/``gate_g`` enable the chunk-gated cull (conservative,
+    bit-equal results). ``pack=2`` is the paired-sub-cluster design
+    (PERF_NOTES roadmap item 0): boxes at C/2-triangle granularity, two
+    boxes' triangles per 128-lane block, unhit halves lane-masked at the
+    sweep — the effective pair set equals an exact C/2 cull. The caller
+    shards tables above the VMEM budget and merges (packet_intersect),
+    exactly like the fused backend."""
     T1, _, L = od8.shape
     T = T1 - 1
     C = blocks.shape[2]
@@ -398,6 +494,10 @@ def fused1_closest_hit(
         raise ValueError(f"gate_g={gate_g} must divide {CHUNK}")
     if gate_g and sup_aabb is None:
         raise ValueError("gate_g > 0 requires sup_aabb")
+    if pack not in (1, 2):
+        raise ValueError(f"pack={pack} unsupported (1 or 2)")
+    if pack > 1 and (K % pack or C % pack):
+        raise ValueError(f"pack={pack} must divide K={K} and C={C}")
     nch = -(-K // CHUNK)
     Kp = nch * CHUNK
     Kw = Kp // 16
@@ -419,6 +519,24 @@ def fused1_closest_hit(
     # non-degenerate rays; degenerate exact-tie hits are masked at pack).
     aabbT = jnp.full((Kp, 8), 1e17, jnp.float32).at[:K].set(aabb.T[:K])
     aabbT = aabbT.at[:K, 6:8].set(0.0)
+    if pack > 1:
+        # Split-plane chunk layout: within each 128-box chunk, rows
+        # [h*BPC, (h+1)*BPC) hold half h of the chunk's BPC blocks — the
+        # kernel's per-block entry fold and dual word planes then use only
+        # contiguous slices. The real-box mask rides along, permuted the
+        # same way (the kernel can't cheaply recompute natural indices).
+        BPC = CHUNK // pack
+        perm = (
+            lambda x: x.reshape(nch, BPC, pack, x.shape[-1])
+            .transpose(0, 2, 1, 3)
+            .reshape(Kp, x.shape[-1])
+        )
+        aabbT = perm(aabbT)
+        vmask = perm(
+            (jnp.arange(Kp) < K).astype(jnp.float32).reshape(Kp, 1)
+        )
+    else:
+        vmask = jnp.ones((8, 1), jnp.float32)
     gated = bool(gate_g) and sup_aabb is not None
     if gated:
         Ks = sup_aabb.shape[1]
@@ -431,7 +549,8 @@ def fused1_closest_hit(
 
     B = _mt_batch_for(tile, C)
     kernel = functools.partial(
-        _fused1_kernel, tile=tile, K=K, gate_g=gate_g if gated else 0
+        _fused1_kernel, tile=tile, K=K, gate_g=gate_g if gated else 0,
+        pack=pack,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -439,6 +558,7 @@ def fused1_closest_hit(
         in_specs=[
             pl.BlockSpec((TB, 8, L), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -454,7 +574,7 @@ def fused1_closest_hit(
             pltpu.VMEM((8, 1), jnp.int32),
             pltpu.SMEM((8, 1), jnp.int32),
             pltpu.SMEM((MAX_K,), jnp.int32),
-            pltpu.VMEM((TB, Kp, tile), jnp.float32),
+            pltpu.VMEM((TB, Kp // pack, tile), jnp.float32),
             pltpu.VMEM((CHUNK, TB), jnp.float32),
             pltpu.VMEM((B, 16, C), jnp.float32),
             pltpu.VMEM((1, tile), jnp.float32),
@@ -471,7 +591,7 @@ def fused1_closest_hit(
             jax.ShapeDtypeStruct((T1p, tile), jnp.float32),
         ),
         interpret=interpret,
-    )(od8k, aabbT, supT, w16, blocks)
+    )(od8k, aabbT, supT, w16, vmask, blocks)
     # Restore the caller's (T + 1, tile) shape: real rows [0, T) plus a
     # MISS dummy row (padded rows are untouched MISS rows anyway).
     t_tile = jnp.concatenate([t_tile[:T], t_tile[-1:]], axis=0)

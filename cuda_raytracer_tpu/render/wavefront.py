@@ -120,7 +120,15 @@ def closest_hit(
 
         backend = scene.config.packet_backend
         if backend == "auto":
-            backend = "fused" if jax.default_backend() == "tpu" else "xla"
+            if getattr(scene.config, "cluster_pack", 1) > 1:
+                # Packed paired-sub-cluster tables: only the fused1 kernel
+                # understands the box↔block mapping.
+                backend = (
+                    "fused1" if jax.default_backend() == "tpu"
+                    else "fused1_interpret"
+                )
+            else:
+                backend = "fused" if jax.default_backend() == "tpu" else "xla"
         t, index, suspects = packet_intersect.closest_hit_packet(
             scene, origin, direction, t, index,
             tile=scene.config.packet_tile,
@@ -239,6 +247,31 @@ def _safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x > 0, jnp.sqrt(safe), 0.0)
 
 
+# Shading-path fusion control (see process_rays): 0 = let XLA fuse freely
+# (round-4 behaviour), 1 = materialise the per-bounce PCG draws, 2 = also
+# compute the on-sphere trig as flat (R,) arrays at full lane utilisation.
+# Env override is for A/B scans (scripts/scan_simple.py); the default is the
+# measured winner on v5e.
+import os as _os
+
+_SHADE_OPT = int(_os.environ.get("RT_SHADE_OPT", "2"))
+
+
+def _on_sphere_lanes(bits_a: jnp.ndarray, bits_b: jnp.ndarray) -> jnp.ndarray:
+    """rng.on_sphere_from_bits with its sine/cosine terms materialised as
+    flat (R,) arrays — bit-identical values, radically different XLA code.
+
+    Fused freely, XLA re-computes each trig term inside the (R, 1) column
+    fusions of the final stack (layout T(1,128): one sublane in eight live)
+    and drags the whole upstream RNG chain in with it. The barrier pins
+    cos/sin to (R,)-shaped full-lane fusions computed exactly once."""
+    r1 = rng.to_radians(bits_a)
+    r2 = rng.to_02(bits_b)
+    x = jnp.sqrt(r2 * (2.0 - r2))
+    c, s = jax.lax.optimization_barrier((jnp.cos(r1) * x, jnp.sin(r1) * x))
+    return jnp.stack([c, s, 1.0 - r2], axis=-1)
+
+
 def process_rays(
     scene: Scene, state: RayState, pass_seed, bounce, reparam: bool = False
 ) -> Tuple[RayState, jnp.ndarray]:
@@ -276,9 +309,20 @@ def process_rays(
         t = jnp.where(miss, 0.0, t)
 
     draws = rng.uniforms(bounce_seeds(state.ray_id, pass_seed, bounce), 5)
-    sphere_a = rng.on_sphere_from_bits(draws[0], draws[1])  # rough normal
+    if _SHADE_OPT >= 1:
+        # Materialise the PCG draws once per bounce. Without the barrier XLA
+        # duplicates the whole seed→srand→5-advance integer chain (~200 ops)
+        # into EVERY consumer fusion — profiled on spheres 1000²×100 spp as
+        # ~4 copies per bounce inside (R, 1)-shaped sine/cosine fusions at
+        # 1/8 sublane utilisation, ~half the render (PROFILE_r05).
+        draws = jax.lax.optimization_barrier(draws)
+    if _SHADE_OPT >= 2:
+        sphere_a = _on_sphere_lanes(draws[0], draws[1])  # rough normal
+        sphere_b = _on_sphere_lanes(draws[3], draws[4])  # diffuse dir
+    else:
+        sphere_a = rng.on_sphere_from_bits(draws[0], draws[1])  # rough normal
+        sphere_b = rng.on_sphere_from_bits(draws[3], draws[4])  # diffuse dir
     branch_u = rng.to_01(draws[2])  # metallicity / roulette draw
-    sphere_b = rng.on_sphere_from_bits(draws[3], draws[4])  # diffuse dir
 
     # ---- Miss: environment radiance, ray dies (scene.cu:376-395) ----------
     # Reparam mode filters bilinearly so the sky is smooth in the (traced)

@@ -223,6 +223,84 @@ def test_packet_fused1_gated_cull_matches_flat():
         np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_f))
 
 
+def test_packet_fused1_paired_pack_matches_unpacked():
+    """cluster_pack=2 (paired sub-clusters, PERF_NOTES roadmap item 0): the
+    packed fused1 path — sub-cluster-granularity cull, split-plane chunk
+    layout, half-masked 128-lane sweep — must be bit-identical to the
+    UNPACKED pipeline on the same geometry cut at the same sub-cluster size
+    (cluster_tris=64, pack=1): the effective (tile, sub-cluster) pair set is
+    identical, and min + larger-id-tie folding is order-independent. Covers
+    flat and chunk-gated culls, and a forced multi-shard split."""
+    import dataclasses
+
+    from cuda_raytracer_tpu.ops.pallas import fused as pallas_fused
+
+    n = 384
+    # ~6000 triangles → ~150 sub-clusters at C_sub=64 → >1 cull chunk, so
+    # the split-plane permutation, padding mask and gate all engage (kept
+    # just past the chunk boundary: interpret-mode minutes scale with K).
+    scene64 = _scene_with_clusters(tri_count=6000, cluster_tris=64)
+    origin, direction = _random_rays(scene64, n)
+    t0 = jnp.full((n,), intersect.MISS)
+    i0 = jnp.full((n,), -1, jnp.int32)
+    t_ref, i_ref, s_ref = packet_intersect.closest_hit_packet(
+        scene64, origin, direction, t0, i0, cap=scene64.num_clusters
+    )
+    assert int(s_ref) == 0
+
+    packed = _scene_with_clusters(
+        tri_count=6000, cluster_tris=128,
+        config_overrides=dict(cluster_pack=2),
+    )
+    assert packed.cluster_blocks.shape[2] == 128
+    assert packed.num_clusters % 2 == 0  # padded to a pack multiple
+    # blocks = K/2 paired blocks + the dummy sentinel row
+    assert packed.cluster_blocks.shape[0] == packed.num_clusters // 2 + 1
+
+    gated = packed.replace(
+        config=dataclasses.replace(packed.config, cull_hier=16)
+    )
+    for label, sc, resident in (
+        ("flat", packed, None),
+        ("gated", gated, None),
+        ("sharded", packed, 1 << 18),
+    ):
+        old = pallas_fused.RESIDENT_BYTES
+        if resident is not None:
+            pallas_fused.RESIDENT_BYTES = resident
+        try:
+            jax.clear_caches()
+            t_p, i_p, s_p = packet_intersect.closest_hit_packet(
+                sc, origin, direction, t0, i0, tile=64,
+                cap=sc.num_clusters, backend="fused1_interpret",
+            )
+        finally:
+            pallas_fused.RESIDENT_BYTES = old
+            jax.clear_caches()
+        assert int(s_p) == 0, label
+        np.testing.assert_array_equal(
+            np.asarray(t_ref), np.asarray(t_p), err_msg=label
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i_ref), np.asarray(i_p), err_msg=label
+        )
+
+
+def test_packet_pack_rejects_other_backends():
+    """Packed tables break the box↔block map every non-fused1 engine indexes
+    by — the guard must fail fast, not sweep the wrong triangles."""
+    packed = _scene_with_clusters(
+        tri_count=3000, cluster_tris=128, config_overrides=dict(cluster_pack=2),
+    )
+    origin, direction = _random_rays(packed, 64)
+    t0 = jnp.full((64,), intersect.MISS)
+    i0 = jnp.full((64,), -1, jnp.int32)
+    with pytest.raises(ValueError, match="cluster_pack"):
+        packet_intersect.closest_hit_packet(
+            packed, origin, direction, t0, i0, backend="xla"
+        )
+
+
 def test_packet_two_round_matches_single_round():
     """The front-to-back two-round sweep (round 1: nearest clusters; round 2:
     tmax-tightened re-cull of the rest) must be exact — identical to the
