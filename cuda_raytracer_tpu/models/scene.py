@@ -131,6 +131,15 @@ class RenderConfig:
     # such wide-cull config loses to the shipped tile=64/C=256 anyway
     # (79.1 ms), where the flat cull is too cheap to gate (SCAN_r03.json).
     cull_hier: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # Shading engine for forward renders: "auto" uses the whole-pass Pallas
+    # bounce megakernel (ops/pallas/shade.py — per-tile dead-ray skipping,
+    # no per-bounce HBM round-trips) whenever megakernel_eligible says the
+    # scene qualifies (brute intersector, constant sky, SMEM-sized tables);
+    # "xla" forces the wavefront path (also used automatically for
+    # differentiable/reparam rendering).
+    shade_engine: str = dataclasses.field(
+        metadata=dict(static=True), default="auto"
+    )
     # Sub-clusters per block (PERF_NOTES roadmap item 0 / VERDICT r4 #1):
     # 1 = one cull box per (16, cluster_tris) block (round-4 behaviour).
     # 2 = the paired-small-cluster design: the BVH is cut at

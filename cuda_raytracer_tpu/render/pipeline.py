@@ -53,16 +53,34 @@ def _render_block(
 ) -> tuple:
     """Trace rays [block_lo, block_lo + block_rays) and accumulate into the
     framebuffer rows they cover (blocks are whole-pixel runs)."""
+    from cuda_raytracer_tpu.ops.pallas import shade
+
     ray_id = block_lo + jnp.arange(block_rays, dtype=jnp.int32)
-    state = wavefront.make_initial_state(scene, ray_id, rays_per_pixel, pass_seed)
-    state, suspect = wavefront.trace_wavefront(
-        scene, state, pass_seed, bounces, sort_rays, reparam=reparam
-    )
     block_pixels = block_rays // rays_per_pixel
-    contribution = wavefront.accumulate_radiance(
-        state, rays_per_pixel, block_pixels,
-        ordered=wavefront.wavefront_ordered(scene, sort_rays, bounces),
-    )
+    if shade.megakernel_eligible(scene, reparam):
+        # Whole-pass bounce megakernel (brute scenes, constant sky): camera
+        # gen + all bounces in one Pallas launch with per-tile dead-ray
+        # skipping — the wavefront path below cannot skip dead rays without
+        # a physical sort that costs more than the bounce it saves.
+        collected = shade.shade_trace(
+            scene, ray_id, rays_per_pixel, pass_seed, bounces,
+            interpret=jax.default_backend() != "tpu",
+        )
+        contribution = collected.reshape(
+            block_pixels, rays_per_pixel, 3
+        ).sum(axis=1)
+        suspect = jnp.zeros((), jnp.int32)  # brute path is exact by design
+    else:
+        state = wavefront.make_initial_state(
+            scene, ray_id, rays_per_pixel, pass_seed
+        )
+        state, suspect = wavefront.trace_wavefront(
+            scene, state, pass_seed, bounces, sort_rays, reparam=reparam
+        )
+        contribution = wavefront.accumulate_radiance(
+            state, rays_per_pixel, block_pixels,
+            ordered=wavefront.wavefront_ordered(scene, sort_rays, bounces),
+        )
     px_lo = block_lo // rays_per_pixel
     current = jax.lax.dynamic_slice(
         framebuffer, (px_lo, 0), (block_pixels, 3)
