@@ -722,8 +722,14 @@ def closest_hit_packet(
         tri_cand = tri_cand.at[ps_write].set(tri, mode="drop", unique_indices=True)
         return i + 1, t_cand, tri_cand
 
-    t_cand0 = jnp.full((T * cap, tile), MISS, jnp.float32)
-    tri_cand0 = jnp.full((T * cap, tile), -1, jnp.int32)
+    # Under shard_map the loop carries must match the body's varying-axis
+    # type (rays are sharded); seed the constant inits with a zero from a
+    # varying operand so they inherit its manual axes (exact: +0).
+    t_cand0 = (
+        jnp.full((T * cap, tile), MISS, jnp.float32)
+        + 0.0 * pair_tile[0].astype(jnp.float32)
+    )
+    tri_cand0 = jnp.full((T * cap, tile), -1, jnp.int32) + 0 * pair_tile[0]
     _, t_cand, tri_cand = jax.lax.while_loop(
         cond, body, (jnp.zeros((), total.dtype), t_cand0, tri_cand0)
     )
