@@ -140,10 +140,22 @@ def render_pass(
     exactness certificate (wavefront.trace_wavefront) — the number of rays
     whose intersection result could not be certified exact (packet-intersector
     pair-budget overflow). render_framebuffer fails loudly on nonzero."""
+    from cuda_raytracer_tpu.ops.pallas import shade
+
     pixels = framebuffer.shape[0]
     total = pixels * rays_per_pixel
-    block = max(rays_per_pixel, (RAY_BLOCK // rays_per_pixel) * rays_per_pixel)
     scene = _regime_scene(scene, rays_per_pixel)
+    if shade.megakernel_eligible(scene, reparam):
+        # One dispatch per pass: the megakernel's compiled graph is
+        # grid-size-independent (no (rays × prims) intermediates, no sort
+        # chunks), and simple-scene renders are HOST-dispatch-bound, not
+        # device-bound — PROFILE_r05-mk measured 0.29 s device-busy against
+        # 2.5 s wall at 380 RAY_BLOCK dispatches (~5 ms tunnel floor each).
+        block = total
+    else:
+        block = max(
+            rays_per_pixel, (RAY_BLOCK // rays_per_pixel) * rays_per_pixel
+        )
     suspect = jnp.zeros((), jnp.int32)
     lo = 0
     while lo + block <= total:
