@@ -115,6 +115,45 @@ def main() -> int:
                     f"_skip{int(skip)}/tile{tile}", ref, got,
                 )
 
+    # Paired-sub-cluster tables (cluster_pack=2, round 5): the packed
+    # fused1 kernel — split-plane chunk cull, dual word planes, (block,
+    # halfmask) ring, lane-masked MT — against the XLA reference on the
+    # SAME geometry cut unpacked at C_sub. The effective pair sets are
+    # identical by construction; these rows certify the pack path's Mosaic
+    # lowering on hardware, flat (cull_hier=-1) and chunk-gated.
+    for ct2, hier in ((128, -1), (128, 16), (256, 16)):
+        packed = load_scene(
+            "/root/reference/teapot.scene",
+            config_overrides=dict(
+                width=128, height=128, rays_per_pixel=2, bounces=4,
+                cluster_pack=2, cull_hier=hier,
+            ),
+            cluster_tris=ct2,
+        )
+        unpacked = load_scene(
+            "/root/reference/teapot.scene",
+            config_overrides=dict(
+                width=128, height=128, rays_per_pixel=2, bounces=4,
+            ),
+            cluster_tris=ct2 // 2,
+        )
+        for name, st in (("teapot_primary", s0), ("teapot_b1_sorted", s1s)):
+            alive = jnp.any(st.transmitted != 0.0, axis=-1)
+            cl = jnp.where(alive, t0, -1.0)
+            ref = pi.closest_hit_packet(
+                unpacked, st.origin, st.direction, cl, i0,
+                cap=unpacked.num_clusters, backend="xla",
+            )
+            for tile in (64, 32):
+                got = pi.closest_hit_packet(
+                    packed, st.origin, st.direction, cl, i0,
+                    cap=packed.num_clusters, tile=tile, backend="fused1",
+                )
+                check(
+                    f"{name}/fused1_pack2_C{ct2}_hier{hier}/tile{tile}",
+                    ref, got,
+                )
+
     # Lamp-scale: the cluster-block table (~28 MB at C=256) exceeds
     # fused.RESIDENT_BYTES, so packet_intersect splits it into VMEM-resident
     # shards swept independently and min-merged — these rows certify the
