@@ -61,9 +61,11 @@ def main() -> int:
                 config_overrides=overrides, **kwargs,
             )
             from cuda_raytracer_tpu.ops.pallas import fused1 as f1
+            # Diagnostic only: shard plan at the RAY_BLOCK tile count the
+            # pipeline actually dispatches (the earlier whole-image T here
+            # made the field meaningless).
             row["n_shards"] = f1.plan_shards(
-                (args.size * args.size * min(args.spp, 20)
-                 // scene.config.packet_tile),
+                (1 << 18) // scene.config.packet_tile,
                 scene.config.packet_tile, scene.cluster_tris,
                 scene.num_clusters, pack=pack,
             )
